@@ -1,0 +1,213 @@
+"""Checkpoint conversion: HuggingFace CLIP → our JAX parameter pytree.
+
+The reference pulls weights straight from the HF hub
+(``/root/reference/utils/train_eval_util.py:23``).  Here conversion is an
+explicit, offline-friendly step: point at a local directory containing an HF
+``openai/clip-vit-*`` checkpoint (``model.safetensors`` or
+``pytorch_model.bin``) and get back the pytree consumed by
+:mod:`mcm_tpu.models.clip`.  Converted pytrees can be cached as native
+`.npz` bundles so the torch/safetensors dependency is only needed once.
+
+Resolution order for a checkpoint name (e.g. ``ViT-B/16``):
+  1. ``$MCM_TPU_CKPT_DIR/<sanitized-name>.npz``  (our native cache)
+  2. ``$MCM_TPU_CKPT_DIR/<hf-repo-basename>/``   (local HF snapshot)
+  3. the HF cache (``~/.cache/huggingface``) if the snapshot exists there
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from mcm_tpu.config import CLIP_CONFIGS, CLIPConfig, HF_CKPT_MAPPING
+
+Params = Dict[str, Any]
+
+_CKPT_DIR_ENV = "MCM_TPU_CKPT_DIR"
+
+
+def _sanitize(name: str) -> str:
+    return re.sub(r"[^A-Za-z0-9_.-]", "-", name)
+
+
+# ---------------------------------------------------------------------------
+# Raw state-dict loading (torch / safetensors, both optional deps)
+# ---------------------------------------------------------------------------
+
+def load_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load an HF checkpoint directory or file into {name: np.ndarray}."""
+    if os.path.isdir(path):
+        for fname in ("model.safetensors", "pytorch_model.bin"):
+            cand = os.path.join(path, fname)
+            if os.path.exists(cand):
+                path = cand
+                break
+        else:
+            raise FileNotFoundError(
+                f"no model.safetensors / pytorch_model.bin under {path}")
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+        return dict(load_file(path))
+    # torch pickle fallback (CPU only)
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: v.numpy() for k, v in sd.items()}
+
+
+# ---------------------------------------------------------------------------
+# HF CLIPModel state dict → pytree
+# ---------------------------------------------------------------------------
+
+def _stack(sd: Dict[str, np.ndarray], tmpl: str, n: int,
+           transpose: bool) -> np.ndarray:
+    mats = [sd[tmpl.format(i)] for i in range(n)]
+    if transpose:
+        mats = [m.T for m in mats]  # torch Linear stores (out, in)
+    return np.stack(mats).astype(np.float32)
+
+
+def _tower_layers(sd: Dict[str, np.ndarray], prefix: str, n: int) -> Params:
+    def w(name):  # stacked, transposed weights
+        return _stack(sd, f"{prefix}.encoder.layers.{{}}.{name}.weight", n, True)
+
+    def b(name):
+        return _stack(sd, f"{prefix}.encoder.layers.{{}}.{name}.bias", n, False)
+
+    return {
+        "ln1": {"scale": _stack(sd, f"{prefix}.encoder.layers.{{}}.layer_norm1.weight", n, False),
+                "bias": b("layer_norm1")},
+        "attn": {
+            "wq": w("self_attn.q_proj"), "bq": b("self_attn.q_proj"),
+            "wk": w("self_attn.k_proj"), "bk": b("self_attn.k_proj"),
+            "wv": w("self_attn.v_proj"), "bv": b("self_attn.v_proj"),
+            "wo": w("self_attn.out_proj"), "bo": b("self_attn.out_proj"),
+        },
+        "ln2": {"scale": _stack(sd, f"{prefix}.encoder.layers.{{}}.layer_norm2.weight", n, False),
+                "bias": b("layer_norm2")},
+        "mlp": {
+            "w1": w("mlp.fc1"), "b1": b("mlp.fc1"),
+            "w2": w("mlp.fc2"), "b2": b("mlp.fc2"),
+        },
+    }
+
+
+def convert_hf_clip(sd: Dict[str, np.ndarray], cfg: CLIPConfig) -> Params:
+    """Map an HF ``CLIPModel`` state dict onto our pytree layout."""
+    # Some HF dumps prefix everything with "clip." or store text/vision only.
+    sd = {k.removeprefix("clip."): v for k, v in sd.items()}
+
+    p = cfg.vision.patch_size
+    conv_w = sd["vision_model.embeddings.patch_embedding.weight"]
+    # (D, 3, p, p) → (p, p, 3, D) → (p*p*3, D); matches clip.patchify order.
+    patch_embed = conv_w.transpose(2, 3, 1, 0).reshape(p * p * 3,
+                                                       cfg.vision.width)
+
+    vision = {
+        "patch_embed": patch_embed.astype(np.float32),
+        "class_emb": sd["vision_model.embeddings.class_embedding"].astype(np.float32),
+        "pos_emb": sd["vision_model.embeddings.position_embedding.weight"].astype(np.float32),
+        # HF's (sic) "pre_layrnorm"
+        "pre_ln": {"scale": sd["vision_model.pre_layrnorm.weight"].astype(np.float32),
+                   "bias": sd["vision_model.pre_layrnorm.bias"].astype(np.float32)},
+        "layers": _tower_layers(sd, "vision_model", cfg.vision.layers),
+        "post_ln": {"scale": sd["vision_model.post_layernorm.weight"].astype(np.float32),
+                    "bias": sd["vision_model.post_layernorm.bias"].astype(np.float32)},
+        "proj": sd["visual_projection.weight"].T.astype(np.float32),
+    }
+    text = {
+        "token_emb": sd["text_model.embeddings.token_embedding.weight"].astype(np.float32),
+        "pos_emb": sd["text_model.embeddings.position_embedding.weight"].astype(np.float32),
+        "layers": _tower_layers(sd, "text_model", cfg.text.layers),
+        "final_ln": {"scale": sd["text_model.final_layer_norm.weight"].astype(np.float32),
+                     "bias": sd["text_model.final_layer_norm.bias"].astype(np.float32)},
+        "proj": sd["text_projection.weight"].T.astype(np.float32),
+    }
+    return {"vision": vision, "text": text,
+            "logit_scale": sd["logit_scale"].astype(np.float32)}
+
+
+# ---------------------------------------------------------------------------
+# Native .npz cache
+# ---------------------------------------------------------------------------
+
+def _flatten(tree: Params, prefix: str = "") -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Params:
+    tree: Params = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_params(params: Params, path: str) -> None:
+    np.savez(path, **_flatten(params))
+
+
+def load_params(path: str) -> Params:
+    with np.load(path) as z:
+        return _unflatten({k: z[k] for k in z.files})
+
+
+# ---------------------------------------------------------------------------
+# High-level resolver
+# ---------------------------------------------------------------------------
+
+def _hf_cache_snapshot(repo_id: str) -> Optional[str]:
+    cache = os.environ.get("HF_HOME",
+                           os.path.expanduser("~/.cache/huggingface"))
+    base = os.path.join(cache, "hub",
+                        "models--" + repo_id.replace("/", "--"), "snapshots")
+    if not os.path.isdir(base):
+        return None
+    for snap in sorted(os.listdir(base)):
+        d = os.path.join(base, snap)
+        if (os.path.exists(os.path.join(d, "model.safetensors"))
+                or os.path.exists(os.path.join(d, "pytorch_model.bin"))):
+            return d
+    return None
+
+
+def resolve_clip_params(ckpt_name: str,
+                        ckpt_dir: Optional[str] = None) -> Optional[Params]:
+    """Find + convert pretrained weights for a checkpoint name, or None.
+
+    Callers fall back to random init (with a loud warning) when this returns
+    None — tests and throughput benchmarks are weight-independent.
+    """
+    cfg = CLIP_CONFIGS[ckpt_name]()
+    ckpt_dir = ckpt_dir or os.environ.get(_CKPT_DIR_ENV, "checkpoints")
+    native = os.path.join(ckpt_dir, _sanitize(ckpt_name) + ".npz")
+    if os.path.exists(native):
+        return load_params(native)
+
+    repo_id = HF_CKPT_MAPPING[ckpt_name]
+    candidates = [os.path.join(ckpt_dir, repo_id.split("/")[-1])]
+    snap = _hf_cache_snapshot(repo_id)
+    if snap:
+        candidates.append(snap)
+    for cand in candidates:
+        if os.path.isdir(cand):
+            params = convert_hf_clip(load_state_dict(cand), cfg)
+            try:  # cache the converted pytree for next time
+                os.makedirs(ckpt_dir, exist_ok=True)
+                save_params(params, native)
+            except OSError:
+                pass
+            return params
+    return None
