@@ -1,0 +1,85 @@
+"""Mahalanobis OOD score (``--score maha``).
+
+Reference: ``/root/reference/utils/detection_util.py:148-207``.
+
+* :func:`estimate_mean_precision` — one pass over ID-train features:
+  per-class means + a single shared precision matrix inv(cov(all features))
+  (``:168-173``; covariance over the WHOLE feature matrix, not
+  class-centered, matching ``torch.cov(all_features.T)``).
+
+  **Deliberate divergence**: the reference indexes features per class with
+  the *batch* index instead of the *sample* index
+  (``classwise_idx[label].append(idx)`` at ``:165`` appends the enumerate
+  counter of the batch loop), so for batch_size > 1 its class means average
+  the wrong rows.  We compute exact per-class means via segment-sum
+  (SURVEY.md §2.1 row 5 flags this as do-not-replicate).
+
+* :func:`mahalanobis_score` — per image: ``-max_c -½ (z-μ_c)ᵀ P (z-μ_c)``
+  (``:196-205``; the returned array carries the reference's final negation
+  at ``:205``, i.e. lower = more ID).  The reference loops classes in
+  Python, one [B,D]x[D,D]x[D,B] product per class; here the quadratic form
+  expands to ``½ fPf - fPμ_c + ½ μ_cPμ_c`` so all classes reduce to ONE
+  [B,D]x[D,C] matmul — MXU-shaped, class-count-independent Python.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def estimate_mean_precision(features: np.ndarray, labels: np.ndarray,
+                            n_cls: int, normalize: bool = False
+                            ) -> Tuple[np.ndarray, np.ndarray]:
+    """Class-wise means [C, D] + shared precision [D, D] from train features.
+
+    fp64 covariance/inverse (reference: ``torch.cov(...double())`` +
+    ``torch.linalg.inv`` at ``:172-173``), results in fp32.
+    """
+    feats = np.asarray(features, dtype=np.float64)
+    labels = np.asarray(labels)
+    if normalize:  # --normalize flag (:162-163)
+        feats = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
+
+    classwise_mean = np.zeros((n_cls, feats.shape[1]), dtype=np.float64)
+    for c in range(n_cls):
+        classwise_mean[c] = feats[labels == c].mean(axis=0)
+    if normalize:  # reference re-normalizes the means (:170-171)
+        classwise_mean /= np.linalg.norm(classwise_mean, axis=-1,
+                                         keepdims=True)
+
+    cov = np.cov(feats.T)  # shared covariance over ALL features (:172)
+    precision = np.linalg.inv(cov)
+    return classwise_mean.astype(np.float32), precision.astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("normalize",))
+def mahalanobis_score(features: jax.Array, classwise_mean: jax.Array,
+                      precision: jax.Array,
+                      normalize: bool = False) -> jax.Array:
+    """[B, D] features → [B] scores (lower = more ID).
+
+    score_b = -max_c ( -½ (f_b-μ_c)ᵀ P (f_b-μ_c) )   [reference :196-205]
+    """
+    f = features.astype(jnp.float32)
+    if normalize:
+        f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+    mu = classwise_mean.astype(jnp.float32)          # [C, D]
+    P = precision.astype(jnp.float32)                # [D, D]
+
+    fP = jnp.dot(f, P, preferred_element_type=jnp.float32,
+                 precision="highest")                # [B, D]
+    quad_f = jnp.sum(fP * f, axis=-1)                # f P fᵀ, [B]
+    cross = jnp.dot(fP, mu.T, preferred_element_type=jnp.float32,
+                    precision="highest")             # f P μᵀ, [B, C]
+    muP = jnp.dot(mu, P, preferred_element_type=jnp.float32,
+                  precision="highest")
+    quad_mu = jnp.sum(muP * mu, axis=-1)             # μ P μᵀ diag, [C]
+
+    # -½ (f-μ)P(f-μ)ᵀ = -½ quad_f + cross - ½ quad_mu
+    dist = -0.5 * quad_f[:, None] + cross - 0.5 * quad_mu[None, :]  # [B, C]
+    return -jnp.max(dist, axis=-1)
