@@ -1,0 +1,204 @@
+"""CLIP byte-pair-encoding tokenizer — pure Python, fully offline.
+
+The reference calls HF ``CLIPTokenizer.from_pretrained`` inside the scoring
+hot loop (``/root/reference/utils/detection_util.py:216,228``).  Here
+tokenization is a host-side, once-per-dataset step.  The implementation is
+the standard byte-level BPE used by GPT-2/CLIP:
+
+* NFC-free whitespace cleanup + lowercasing (HF CLIPTokenizer behavior);
+* the CLIP split regex (``'s|'t|'re|...|letters|digit|other``);
+* byte→printable-unicode remapping so merges operate on visible chars;
+* greedy lowest-rank pair merging with the ``</w>`` end-of-word marker;
+* ``<|startoftext|> tokens <|endoftext|>`` framing, right-padding with the
+  EOT token and a 0/1 attention mask (HF ``padding=True`` semantics).
+
+Vocabulary and merges load from the same ``vocab.json`` / ``merges.txt``
+files that ship with any ``openai/clip-vit-*`` checkpoint; nothing is
+fetched at runtime.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+import regex as re
+
+_PAT = re.compile(
+    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
+    r"""[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+    re.IGNORECASE,
+)
+_WHITESPACE = re.compile(r"\s+")
+
+BOS_TOKEN = "<|startoftext|>"
+EOS_TOKEN = "<|endoftext|>"
+
+
+@functools.lru_cache()
+def bytes_to_unicode() -> Dict[int, str]:
+    """GPT-2 byte→unicode table: every byte maps to a printable char."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("\xa1"), ord("\xac") + 1))
+          + list(range(ord("\xae"), ord("\xff") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+def _get_pairs(word: Tuple[str, ...]) -> set:
+    return {(a, b) for a, b in zip(word[:-1], word[1:])}
+
+
+class CLIPTokenizer:
+    """Drop-in offline CLIP tokenizer.
+
+    Parameters
+    ----------
+    vocab_file / merges_file:
+        paths to an HF-format ``vocab.json`` and ``merges.txt``.
+    """
+
+    def __init__(self, vocab_file: str, merges_file: str):
+        with open(vocab_file, encoding="utf-8") as f:
+            self.encoder: Dict[str, int] = json.load(f)
+        self.decoder = {v: k for k, v in self.encoder.items()}
+
+        with open(merges_file, encoding="utf-8") as f:
+            lines = f.read().split("\n")
+        # skip the "#version" header; ignore trailing blanks
+        merges = [tuple(line.split()) for line in lines
+                  if line and not line.startswith("#version")]
+        self.bpe_ranks = {pair: i for i, pair in enumerate(merges)}
+
+        self.byte_encoder = bytes_to_unicode()
+        self.bos_id = self.encoder[BOS_TOKEN]
+        self.eos_id = self.encoder[EOS_TOKEN]
+        self.pad_id = self.eos_id  # HF CLIPTokenizer pads with EOT
+        self._bpe_cache: Dict[str, List[str]] = {}
+
+    # -- resolution helpers -------------------------------------------------
+
+    @classmethod
+    def from_dir(cls, path: str) -> "CLIPTokenizer":
+        return cls(os.path.join(path, "vocab.json"),
+                   os.path.join(path, "merges.txt"))
+
+    @classmethod
+    def resolve(cls, ckpt_dir: Optional[str] = None) -> Optional["CLIPTokenizer"]:
+        """Look for vocab/merges under MCM_TPU_CKPT_DIR or the HF cache."""
+        search = []
+        ckpt_dir = ckpt_dir or os.environ.get("MCM_TPU_CKPT_DIR",
+                                              "checkpoints")
+        search.append(ckpt_dir)
+        for repo in ("clip-vit-base-patch16", "clip-vit-base-patch32",
+                     "clip-vit-large-patch14"):
+            search.append(os.path.join(ckpt_dir, repo))
+        cache = os.environ.get("HF_HOME",
+                               os.path.expanduser("~/.cache/huggingface"))
+        hub = os.path.join(cache, "hub")
+        if os.path.isdir(hub):
+            for d in os.listdir(hub):
+                if d.startswith("models--openai--clip"):
+                    snaps = os.path.join(hub, d, "snapshots")
+                    if os.path.isdir(snaps):
+                        search += [os.path.join(snaps, s)
+                                   for s in os.listdir(snaps)]
+        for d in search:
+            if (os.path.exists(os.path.join(d, "vocab.json"))
+                    and os.path.exists(os.path.join(d, "merges.txt"))):
+                return cls.from_dir(d)
+        return None
+
+    # -- core BPE ------------------------------------------------------------
+
+    def _bpe(self, token: str) -> List[str]:
+        cached = self._bpe_cache.get(token)
+        if cached is not None:
+            return cached
+        word = tuple(token[:-1]) + (token[-1] + "</w>",)
+        pairs = _get_pairs(word)
+        if not pairs:
+            return [token + "</w>"]
+
+        while True:
+            bigram = min(pairs,
+                         key=lambda p: self.bpe_ranks.get(p, float("inf")))
+            if bigram not in self.bpe_ranks:
+                break
+            first, second = bigram
+            new_word: List[str] = []
+            i = 0
+            while i < len(word):
+                try:
+                    j = word.index(first, i)
+                except ValueError:
+                    new_word.extend(word[i:])
+                    break
+                new_word.extend(word[i:j])
+                i = j
+                if (i < len(word) - 1 and word[i] == first
+                        and word[i + 1] == second):
+                    new_word.append(first + second)
+                    i += 2
+                else:
+                    new_word.append(word[i])
+                    i += 1
+            word = tuple(new_word)
+            if len(word) == 1:
+                break
+            pairs = _get_pairs(word)
+        out = list(word)
+        self._bpe_cache[token] = out
+        return out
+
+    def encode(self, text: str) -> List[int]:
+        """Token ids WITHOUT bos/eos framing."""
+        text = _WHITESPACE.sub(" ", text).strip().lower()
+        ids: List[int] = []
+        for tok in _PAT.findall(text):
+            tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
+            ids.extend(self.encoder[t] for t in self._bpe(tok))
+        return ids
+
+    def decode(self, ids: Iterable[int]) -> str:
+        byte_decoder = {v: k for k, v in self.byte_encoder.items()}
+        text = "".join(self.decoder[i] for i in ids
+                       if i not in (self.bos_id, self.eos_id))
+        raw = bytearray(byte_decoder[c] for c in text)
+        return raw.decode("utf-8", errors="replace").replace("</w>", " ").strip()
+
+    # -- batch API (what the scoring path consumes) ---------------------------
+
+    def __call__(self, texts: Sequence[str], context_length: Optional[int] = None,
+                 pad_to_multiple: Optional[int] = None
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batch encode → (input_ids [B, S] int32, attention_mask [B, S] int32).
+
+        ``padding=True`` semantics (pad to the longest row) like the
+        reference call at ``detection_util.py:228``; optionally pad S up to a
+        multiple (TPU-friendly static shapes) or clamp/pad to
+        ``context_length``.
+        """
+        rows = [[self.bos_id] + self.encode(t) + [self.eos_id] for t in texts]
+        if context_length is not None:
+            rows = [r[:context_length] for r in rows]
+            width = context_length
+        else:
+            width = max(len(r) for r in rows)
+            if pad_to_multiple:
+                width = -(-width // pad_to_multiple) * pad_to_multiple
+        ids = np.full((len(rows), width), self.pad_id, dtype=np.int32)
+        mask = np.zeros((len(rows), width), dtype=np.int32)
+        for i, r in enumerate(rows):
+            ids[i, :len(r)] = r
+            mask[i, :len(r)] = 1
+        return ids, mask
