@@ -1,0 +1,224 @@
+"""Fine-grained benchmark datasets: CUB-200, Stanford-Cars, Food-101, Pet-37.
+
+Re-implementations of the reference dataset classes
+(``/root/reference/dataloaders/{bird200,car196,food101,pet37}.py``) with the
+same on-disk layouts, split logic, label assignment, and — the load-bearing
+contract — ``class_names_str``: prompt-ready display names indexed by label
+(consumed via ``utils/common.py:25-26``).
+
+Datasets here yield ``(path, label)``; decode/preprocess happens in the
+pipeline layer.  Downloads (urllib + md5) run when ``download=True`` and the
+data is absent; in egress-free environments they raise with instructions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tarfile
+import urllib.request
+import zipfile
+from typing import List, Optional, Tuple
+
+
+def _md5(path: str, chunk: int = 1 << 20) -> str:
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        while blk := f.read(chunk):
+            h.update(blk)
+    return h.hexdigest()
+
+
+def download_and_extract(url: str, root: str, md5: Optional[str] = None,
+                         extract_root: Optional[str] = None) -> None:
+    """Fetch an archive, verify md5, extract (tar/zip).  No-op if present."""
+    os.makedirs(root, exist_ok=True)
+    fname = os.path.join(root, url.rsplit("/", 1)[1])
+    if not os.path.exists(fname):
+        try:
+            urllib.request.urlretrieve(url, fname)
+        except OSError as e:
+            raise RuntimeError(
+                f"could not download {url} ({e}); place the archive at "
+                f"{fname} manually in egress-free environments") from e
+    if md5 and _md5(fname) != md5:
+        raise RuntimeError(f"md5 mismatch for {fname}")
+    dest = extract_root or root
+    if fname.endswith((".tar.gz", ".tgz", ".tar")):
+        with tarfile.open(fname) as tar:
+            tar.extractall(dest, filter="data")
+    elif fname.endswith(".zip"):
+        with zipfile.ZipFile(fname) as zf:
+            zf.extractall(dest)
+
+
+class _PathLabelDataset:
+    """Common shape: samples=[(path, label)], class_names_str=[str]."""
+
+    samples: List[Tuple[str, int]]
+    class_names_str: List[str]
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def __getitem__(self, idx: int) -> Tuple[str, int]:
+        return self.samples[idx]
+
+    @property
+    def targets(self) -> List[int]:
+        return [label for _, label in self.samples]
+
+
+class Cub2011(_PathLabelDataset):
+    """CUB-200-2011 (reference ``bird200.py``): metadata text files under
+    ``root/CUB_200_2011``; labels shifted to 0-based; names like
+    ``001.Black_footed_Albatross`` → ``Black footed Albatross``.
+    No download (matches reference)."""
+
+    def __init__(self, root: str, train: bool = True):
+        base = os.path.join(os.path.expanduser(root), "CUB_200_2011")
+        if not os.path.isdir(base):
+            raise FileNotFoundError(f"CUB_200_2011 not found under {root}")
+
+        def read_pairs(name):
+            with open(os.path.join(base, name)) as f:
+                return [line.split() for line in f.read().splitlines() if line]
+
+        images = {i: p for i, p in read_pairs("images.txt")}
+        labels = {i: int(t) for i, t in read_pairs("image_class_labels.txt")}
+        is_train = {i: t == "1" for i, t in read_pairs("train_test_split.txt")}
+
+        img_dir = os.path.join(base, "images")
+        self.samples = [
+            (os.path.join(img_dir, images[i]), labels[i] - 1)
+            for i in sorted(images, key=int)
+            if is_train[i] == train
+        ]
+        self.class_names_str = [
+            name.split(".", 1)[1].replace("_", " ")
+            for _, name in read_pairs("classes.txt")
+        ]
+
+
+class Food101(_PathLabelDataset):
+    """Food-101 (reference ``food101.py``): ``meta/{train,test}.json`` maps
+    class → image relpaths; display names are the sorted class keys
+    capitalized (identical to the reference's hardcoded list)."""
+
+    _URL = "http://data.vision.ee.ethz.ch/cvl/food-101.tar.gz"
+    _MD5 = "85eeb15f3717b99a5da872d97d918f87"
+
+    def __init__(self, root: str, split: str = "train",
+                 download: bool = False):
+        assert split in ("train", "test")
+        base = os.path.join(root, "food-101")
+        if download and not os.path.isdir(os.path.join(base, "meta")):
+            download_and_extract(self._URL, root, self._MD5)
+        meta_path = os.path.join(base, "meta", f"{split}.json")
+        if not os.path.exists(meta_path):
+            raise FileNotFoundError(f"Food-101 metadata missing: {meta_path}")
+
+        with open(meta_path) as f:
+            metadata = json.load(f)
+        self.classes = sorted(metadata.keys())
+        class_to_idx = {c: i for i, c in enumerate(self.classes)}
+        img_dir = os.path.join(base, "images")
+
+        self.samples = []
+        # reference iterates metadata insertion order (:64-68)
+        for cls, rels in metadata.items():
+            label = class_to_idx[cls]
+            self.samples += [(os.path.join(img_dir, *f"{r}.jpg".split("/")),
+                              label) for r in rels]
+        self.class_names_str = [c.replace("_", " ").capitalize()
+                                for c in self.classes]
+
+
+class OxfordIIITPet(_PathLabelDataset):
+    """Oxford-IIIT Pet (reference ``pet37.py``): ``annotations/{split}.txt``
+    rows ``image_id label ...``; display names title-cased from image-id
+    stems ordered by label."""
+
+    _RESOURCES = (
+        ("https://www.robots.ox.ac.uk/~vgg/data/pets/data/images.tar.gz",
+         "5c4f3ee8e5d25df40f4fd59a7f44e54c"),
+        ("https://www.robots.ox.ac.uk/~vgg/data/pets/data/annotations.tar.gz",
+         "95a8c909bbe2e81eed6a22bccdf3f68f"),
+    )
+
+    def __init__(self, root: str, split: str = "trainval",
+                 download: bool = False):
+        assert split in ("trainval", "test")
+        base = os.path.join(root, "oxford-iiit-pet")
+        anns = os.path.join(base, "annotations")
+        if download and not os.path.isdir(anns):
+            for url, md5 in self._RESOURCES:
+                download_and_extract(url, base, md5)
+        ann_file = os.path.join(anns, f"{split}.txt")
+        if not os.path.exists(ann_file):
+            raise FileNotFoundError(f"Pet annotations missing: {ann_file}")
+
+        image_ids, labels = [], []
+        with open(ann_file) as f:
+            for line in f:
+                image_id, label, *_ = line.strip().split()
+                image_ids.append(image_id)
+                labels.append(int(label) - 1)
+
+        img_dir = os.path.join(base, "images")
+        self.samples = [(os.path.join(img_dir, f"{i}.jpg"), l)
+                        for i, l in zip(image_ids, labels)]
+        self.class_names_str = [
+            " ".join(part.title() for part in raw.split("_"))
+            for raw, _ in sorted(
+                {(i.rsplit("_", 1)[0], l) for i, l in zip(image_ids, labels)},
+                key=lambda pair: pair[1])
+        ]
+
+
+class StanfordCars(_PathLabelDataset):
+    """Stanford Cars (reference ``car196.py``): devkit ``.mat`` annotations
+    (scipy), 0-based labels, names straight from ``cars_meta.mat``."""
+
+    _URLS = {
+        "devkit": ("https://ai.stanford.edu/~jkrause/cars/car_devkit.tgz",
+                   "c3b158d763b6e2245038c8ad08e45376"),
+        "train": ("https://ai.stanford.edu/~jkrause/car196/cars_train.tgz",
+                  "065e5b463ae28d29e77c1b4b166cfe61"),
+        "test": ("https://ai.stanford.edu/~jkrause/car196/cars_test.tgz",
+                 "4ce7ebf6a94d07f1952d94dd34c4d501"),
+        "test_annos": ("https://ai.stanford.edu/~jkrause/car196/"
+                       "cars_test_annos_withlabels.mat",
+                       "b0a2b23655a3edd16d84508592a98d10"),
+    }
+
+    def __init__(self, root: str, split: str = "train",
+                 download: bool = False):
+        assert split in ("train", "test")
+        import scipy.io as sio
+
+        base = os.path.join(root, "stanford_cars")
+        devkit = os.path.join(base, "devkit")
+        if split == "train":
+            ann_path = os.path.join(devkit, "cars_train_annos.mat")
+            img_dir = os.path.join(base, "cars_train")
+        else:
+            ann_path = os.path.join(base, "cars_test_annos_withlabels.mat")
+            img_dir = os.path.join(base, "cars_test")
+
+        if download and not os.path.isdir(devkit):
+            for key in ("devkit", split) + (("test_annos",)
+                                            if split == "test" else ()):
+                url, md5 = self._URLS[key]
+                download_and_extract(url, base, md5)
+        if not os.path.exists(ann_path):
+            raise FileNotFoundError(f"Stanford Cars annotations missing: "
+                                    f"{ann_path}")
+
+        annos = sio.loadmat(ann_path, squeeze_me=True)["annotations"]
+        self.samples = [(os.path.join(img_dir, str(a["fname"])),
+                         int(a["class"]) - 1) for a in annos]
+        meta = sio.loadmat(os.path.join(devkit, "cars_meta.mat"),
+                           squeeze_me=True)
+        self.class_names_str = [str(c) for c in meta["class_names"].tolist()]

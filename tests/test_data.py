@@ -1,0 +1,239 @@
+"""Data layer: folder walker, transforms, pipeline, fine-grained datasets,
+class-name contract."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax.numpy as jnp
+
+from mcm_tpu.data import (Cub2011, DataPipeline, Food101, ImageFolder,
+                          OxfordIIITPet, StanfordCars, collect_scores,
+                          get_num_cls, get_test_labels, subset_per_class)
+from mcm_tpu.data.labels import (imagenet1k_classes, imagenet10_classes,
+                                 imagenet20_classes, imagenet100_classes)
+from mcm_tpu.data.transforms import (center_crop, load_image_uint8,
+                                     normalize_host, normalize_on_device,
+                                     resize_shorter_side)
+from util_synth import (make_cars_tree, make_cub_tree, make_food_tree,
+                        make_imagefolder_tree, make_pet_tree)
+
+
+# -- ImageFolder --------------------------------------------------------------
+
+def test_imagefolder_sorted_assignment(tmp_path):
+    root = make_imagefolder_tree(str(tmp_path), ["n02", "n01", "n03"], 2)
+    ds = ImageFolder(root)
+    assert ds.classes == ["n01", "n02", "n03"]  # wnid-sorted labels
+    assert len(ds) == 6
+    paths = [p for p, _ in ds.samples]
+    assert paths == sorted(paths)
+    assert ds.targets == [0, 0, 1, 1, 2, 2]
+
+
+def test_imagefolder_missing_root(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        ImageFolder(str(tmp_path / "nope"))
+
+
+def test_subset_per_class(tmp_path):
+    root = make_imagefolder_tree(str(tmp_path), ["a", "b"], 5)
+    sub = subset_per_class(ImageFolder(root), max_count=2)
+    assert len(sub) == 4
+    labels = [sub[i][1] for i in range(len(sub))]
+    assert labels == [0, 0, 1, 1]
+
+
+# -- transforms ---------------------------------------------------------------
+
+def test_resize_shorter_side_landscape():
+    img = Image.new("RGB", (400, 200))
+    out = resize_shorter_side(img, 224)
+    assert out.size == (448, 224)
+
+
+def test_resize_shorter_side_portrait():
+    img = Image.new("RGB", (100, 300))
+    out = resize_shorter_side(img, 224)
+    assert out.size == (224, 672)
+
+
+def test_resize_noop_when_exact():
+    img = Image.new("RGB", (224, 500))
+    assert resize_shorter_side(img, 224) is img
+
+
+def test_center_crop_rounding():
+    # torchvision offset = round((dim-size)/2): for 225→224 that's round(0.5)=0
+    img = Image.fromarray(
+        np.arange(225 * 225 * 3, dtype=np.uint8).reshape(225, 225, 3))
+    out = np.asarray(center_crop(img, 224))
+    ref = np.asarray(img)[0:224, 0:224]
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_center_crop_pads_small_images():
+    img = Image.new("RGB", (50, 60), (255, 0, 0))
+    out = np.asarray(center_crop(img, 100))
+    assert out.shape == (100, 100, 3)
+    assert (out[:, :, 0] == 255).sum() == 50 * 60  # original pixels intact
+
+
+def test_normalize_device_matches_host(rng):
+    batch = rng.integers(0, 256, size=(2, 8, 8, 3), dtype=np.uint8)
+    dev = np.asarray(normalize_on_device(jnp.asarray(batch)))
+    host = normalize_host(batch)
+    np.testing.assert_allclose(dev, host, rtol=1e-6, atol=1e-6)
+    # spot-check against the naive (x/255 - mean)/std formula
+    from mcm_tpu.data.transforms import CLIP_MEAN, CLIP_STD
+    naive = (batch / 255.0 - np.array(CLIP_MEAN)) / np.array(CLIP_STD)
+    np.testing.assert_allclose(host, naive, rtol=1e-5, atol=1e-5)
+
+
+def test_load_image_uint8(tmp_path):
+    path = str(tmp_path / "x.jpg")
+    Image.fromarray(np.zeros((60, 90, 3), np.uint8)).save(path)
+    out = load_image_uint8(path, 32)
+    assert out.shape == (32, 32, 3) and out.dtype == np.uint8
+
+
+# -- pipeline -----------------------------------------------------------------
+
+def test_pipeline_order_and_padding(tmp_path):
+    root = make_imagefolder_tree(str(tmp_path), ["a", "b"], 4)  # 8 images
+    ds = ImageFolder(root)
+    pipe = DataPipeline(ds, batch_size=3, image_size=16, num_workers=2)
+    batches = list(pipe)
+    assert len(batches) == 3
+    assert [b.valid for b in batches] == [3, 3, 2]
+    labels = np.concatenate([b.labels[:b.valid] for b in batches])
+    np.testing.assert_array_equal(labels, ds.targets)
+    # padding rows replicate the last real row
+    assert batches[-1].labels[2] == batches[-1].labels[1]
+    assert batches[-1].images.shape == (3, 16, 16, 3)
+
+
+def test_pipeline_decode_error_propagates(tmp_path):
+    root = make_imagefolder_tree(str(tmp_path), ["a"], 2)
+    ds = ImageFolder(root)
+    ds.samples[1] = (str(tmp_path / "missing.jpg"), 0)
+    with pytest.raises(Exception):
+        list(DataPipeline(ds, batch_size=2, image_size=16, num_workers=2))
+
+
+def test_collect_scores_truncates():
+    s = [np.array([1.0, 2.0, 3.0]), np.array([4.0, 5.0, 6.0])]
+    out = collect_scores(s, valids=[3, 2], total=5)
+    np.testing.assert_array_equal(out, [1, 2, 3, 4, 5])
+
+
+# -- fine-grained datasets ----------------------------------------------------
+
+def test_cub(tmp_path):
+    root = make_cub_tree(str(tmp_path), n_classes=3, per_class=4)
+    train, test = Cub2011(root, train=True), Cub2011(root, train=False)
+    assert len(train) == 6 and len(test) == 6
+    assert train.class_names_str == ["Fake Bird 1", "Fake Bird 2",
+                                     "Fake Bird 3"]
+    assert set(train.targets) == {0, 1, 2}
+
+
+def test_pet(tmp_path):
+    root = make_pet_tree(str(tmp_path))
+    ds = OxfordIIITPet(root, split="test")
+    assert ds.class_names_str == ["Abyssinian", "English Setter"]
+    assert all(os.path.exists(p) for p, _ in ds.samples)
+
+
+def test_food(tmp_path):
+    root = make_food_tree(str(tmp_path))
+    ds = Food101(root, split="train")
+    assert ds.class_names_str == ["Apple pie", "Baby back ribs"]
+    assert len(ds) == 6
+
+
+def test_cars(tmp_path):
+    root = make_cars_tree(str(tmp_path), n_classes=3, per_class=2)
+    ds = StanfordCars(root, split="test")
+    assert ds.class_names_str == ["Fake Car Model 1", "Fake Car Model 2",
+                                  "Fake Car Model 3"]
+    assert len(ds) == 6
+    assert ds.targets == [0, 0, 1, 1, 2, 2]
+
+
+def test_dataset_missing_raises(tmp_path):
+    for cls, kwargs in [(Food101, dict(split="test")),
+                        (OxfordIIITPet, dict(split="test")),
+                        (StanfordCars, dict(split="train")),
+                        (Cub2011, dict(train=True))]:
+        with pytest.raises(FileNotFoundError):
+            cls(str(tmp_path / "none"), **kwargs)
+
+
+# -- labels -------------------------------------------------------------------
+
+def test_imagenet_class_counts():
+    assert len(imagenet1k_classes()) == 1000
+    assert len(imagenet10_classes()) == 10
+    assert len(imagenet20_classes()) == 20
+    assert len(imagenet100_classes()) == 100
+
+
+def test_imagenet1k_spot_values():
+    names = imagenet1k_classes()
+    assert names[0] == "tench"
+    assert names[1] == "goldfish"
+
+
+def test_imagenet10_wnid_order():
+    # label order = wnid-sorted (matches ImageFolder index assignment)
+    assert imagenet10_classes()[0] == "brambling bird"   # n01530575
+    assert imagenet10_classes()[-1] == "warplane"        # n04552348
+
+
+def test_imagenet20_wnid_order():
+    assert imagenet20_classes()[0] == "common newt"      # n01630670
+    assert imagenet20_classes()[-1] == "tank"            # n04389033
+
+
+def test_get_num_cls():
+    assert get_num_cls("ImageNet") == 1000
+    assert get_num_cls("pet37") == 37
+    with pytest.raises(KeyError):
+        get_num_cls("bogus")
+
+
+def test_get_test_labels_fine_grained(tmp_path):
+    root = make_pet_tree(str(tmp_path))
+    ds = OxfordIIITPet(root, split="test")
+    assert get_test_labels("pet37", ds) == ds.class_names_str
+    with pytest.raises(ValueError):
+        get_test_labels("pet37", None)
+
+
+def test_against_reference_label_functions():
+    """When the reference tree is mounted, our class lists must equal its
+    obtain_ImageNet*_classes outputs exactly."""
+    import importlib.util
+    import sys
+    path = "/root/reference/utils/common.py"
+    if not os.path.exists(path):
+        pytest.skip("reference tree not mounted")
+    pytest.importorskip("torch")
+    spec = importlib.util.spec_from_file_location("ref_common", path)
+    ref = importlib.util.module_from_spec(spec)
+    sys.modules["ref_common"] = ref
+    spec.loader.exec_module(ref)
+
+    assert list(ref.obtain_ImageNet10_classes()) == imagenet10_classes()
+    assert list(ref.obtain_ImageNet20_classes()) == imagenet20_classes()
+    cwd = os.getcwd()
+    os.chdir("/root/reference")  # its loaders use relative data/ paths
+    try:
+        assert [str(x) for x in ref.obtain_ImageNet_classes()] == \
+            imagenet1k_classes()
+        assert ref.obtain_ImageNet100_classes() == imagenet100_classes()
+    finally:
+        os.chdir(cwd)
