@@ -1,0 +1,136 @@
+"""The sharded device program: uint8 batch → normalize → encode → score.
+
+One jit. Everything the reference hot loop does on-device per batch
+(``/root/reference/utils/detection_util.py:220-248`` minus the per-batch
+text re-encode, which is hoisted out and cached) compiles into a single
+XLA executable: fused uint8→fp normalize, the ViT forward, L2-normalize,
+the class matmul, and the score reduction.  The only host↔device traffic
+per batch is uint8 pixels in and one fp32 score per image out.
+
+Sharding: batch over the ``data`` axis, params TP-sharded per
+:func:`mcm_tpu.parallel.mesh.clip_param_specs`, text features replicated.
+Works identically on 1 device (trivial mesh) and N (pjit/SPMD).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mcm_tpu.config import CLIPConfig, Precision
+from mcm_tpu.data.transforms import CLIP_MEAN, CLIP_STD, normalize_on_device
+from mcm_tpu.models import clip as jclip
+from mcm_tpu.parallel import mesh as meshlib
+from mcm_tpu.scores.clip_scores import (_scores_from_logits, l2_normalize,
+                                        similarity_logits)
+from mcm_tpu.scores.mahalanobis import mahalanobis_score
+
+
+def _encode_pixels(params, cfg: CLIPConfig, images_u8: jax.Array,
+                   precision: Precision) -> jax.Array:
+    x = normalize_on_device(images_u8, CLIP_MEAN, CLIP_STD,
+                            dtype=precision.activation_dtype)
+    return jclip.encode_image(params, cfg.vision, x, precision)
+
+
+class EvalStep:
+    """Compiled per-batch eval programs bound to a mesh.
+
+    ``score(params, images_u8, text_feats)``   → [B] fp32 OOD scores
+    ``features(params, images_u8)``            → [B, D] image features
+    ``maha(features, mean, precision_mat)``    → [B] Mahalanobis scores
+    """
+
+    def __init__(self, cfg: CLIPConfig, score: str = "MCM", T: float = 1.0,
+                 precision: Precision = Precision.fast(),
+                 mesh: Optional[Mesh] = None):
+        self.cfg = cfg
+        self.score_name = score
+        self.T = float(T)
+        self.precision = precision
+        self.mesh = mesh if mesh is not None else meshlib.make_mesh(1)
+
+        batch_sh = meshlib.batch_sharding(self.mesh)
+        repl = meshlib.replicated(self.mesh)
+        param_sh = meshlib.param_shardings(self.mesh)
+
+        def score_fn(params, images_u8, text_feats):
+            feats = _encode_pixels(params, cfg, images_u8, precision)
+            logits = similarity_logits(feats, text_feats)
+            return _scores_from_logits(logits, self.T)[score]
+
+        def features_fn(params, images_u8):
+            return _encode_pixels(params, cfg, images_u8,
+                                  precision).astype(jnp.float32)
+
+        self._score = jax.jit(
+            score_fn,
+            in_shardings=(param_sh, batch_sh, repl),
+            out_shardings=batch_sh)
+        self._features = jax.jit(
+            features_fn,
+            in_shardings=(param_sh, batch_sh),
+            out_shardings=batch_sh)
+        self._maha = jax.jit(
+            functools.partial(mahalanobis_score, normalize=False),
+            in_shardings=(batch_sh, repl, repl),
+            out_shardings=batch_sh)
+        self._maha_norm = jax.jit(
+            functools.partial(mahalanobis_score, normalize=True),
+            in_shardings=(batch_sh, repl, repl),
+            out_shardings=batch_sh)
+
+        self.batch_sharding = batch_sh
+        self.replicated = repl
+        self.param_shardings = param_sh
+
+    # -- device placement helpers -------------------------------------------
+
+    def put_params(self, params):
+        return jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(jnp.asarray(x), s), params,
+            self.param_shardings)
+
+    def put_batch(self, images_u8: np.ndarray) -> jax.Array:
+        return jax.device_put(images_u8, self.batch_sharding)
+
+    def put_replicated(self, x) -> jax.Array:
+        return jax.device_put(jnp.asarray(x), self.replicated)
+
+    # -- compiled entry points ------------------------------------------------
+
+    def score(self, params, images_u8, text_feats) -> jax.Array:
+        return self._score(params, images_u8, text_feats)
+
+    def features(self, params, images_u8) -> jax.Array:
+        return self._features(params, images_u8)
+
+    def maha(self, features, classwise_mean, precision_mat,
+             normalize: bool = False) -> jax.Array:
+        fn = self._maha_norm if normalize else self._maha
+        return fn(features, classwise_mean, precision_mat)
+
+    # -- text side (host-cached, run once per dataset) -------------------------
+
+    def encode_text(self, params, input_ids: np.ndarray,
+                    attention_mask: np.ndarray,
+                    batch_size: int = 1024) -> jax.Array:
+        """Encode + L2-normalize all class prompts, replicated on the mesh.
+
+        Runs once per ID dataset (the reference re-encodes every batch,
+        ``detection_util.py:228-231`` — pure waste, identical output)."""
+        outs = []
+        n = input_ids.shape[0]
+        for lo in range(0, n, batch_size):
+            ids = jnp.asarray(input_ids[lo:lo + batch_size])
+            mask = jnp.asarray(attention_mask[lo:lo + batch_size])
+            f = jclip.encode_text(params, self.cfg.text, ids, mask,
+                                  self.precision)
+            outs.append(l2_normalize(f).astype(jnp.float32))
+        text = jnp.concatenate(outs, axis=0)
+        return self.put_replicated(text)

@@ -1,16 +1,24 @@
-"""Test configuration: force an 8-device CPU mesh before JAX initializes.
+"""Test configuration: force an 8-device CPU mesh before the JAX backend
+initializes.
 
 Multi-chip sharding is validated on virtual CPU devices (SURVEY.md §4) —
 the real TPU is exercised by bench.py, not the unit suite.
+
+Note: plugins (jaxtyping) import jax before this conftest runs, so env vars
+alone are too late — ``jax.config.update`` still works until the first
+backend use.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+# belt (for subprocesses)...
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+# ...and suspenders (for this process, where jax may already be imported)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
