@@ -1,0 +1,331 @@
+"""End-to-end evaluation runner — the orchestration behind the CLI.
+
+Mirrors the reference's ``eval_ood_detection.py:main`` (``:53-99``) flow:
+model → ID loader → labels → ID scores → per-OOD-set scores → metrics →
+plots → CSV, with the TPU-native execution model:
+
+* ONE compiled device program per batch (normalize+encode+score);
+* text prompts tokenized + encoded once per ID dataset (the reference
+  re-encodes them every batch, ``detection_util.py:228-231``);
+* host decode threads prefetch ahead; device dispatch is async, score
+  readback trails one batch behind → decode, H2D, compute, D2H all overlap;
+* per-dataset score arrays are checkpointed, so an interrupted sweep
+  resumes per OOD set (SURVEY.md §5 failure-recovery gap, now real);
+* Mahalanobis templates cached as .npz (reference uses .pt,
+  ``detection_util.py:175-176``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import warnings
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from mcm_tpu.config import CLIP_CONFIGS, Precision, resolve_precision
+from mcm_tpu.data import (DataPipeline, collect_scores, default_out_datasets,
+                          get_test_labels, set_ood_loader, set_train_loader,
+                          set_val_loader, subset_per_class)
+from mcm_tpu.metrics import get_measures, print_measures
+from mcm_tpu.models.convert import resolve_clip_params
+from mcm_tpu.models.init import init_clip
+from mcm_tpu.parallel import EvalStep, make_mesh
+from mcm_tpu.scores.mahalanobis import estimate_mean_precision
+from mcm_tpu.text import CLIPTokenizer, build_prompts
+from mcm_tpu.text.prompts import DEFAULT_TEMPLATE, OPENAI_IMAGENET_TEMPLATES
+from mcm_tpu.utils import Telemetry, save_scores, load_scores, setup_log
+from mcm_tpu.utils.plotting import plot_distribution
+from mcm_tpu.utils.results import save_as_dataframe
+from mcm_tpu.utils.seed import setup_seed
+
+
+@dataclasses.dataclass
+class RunConfig:
+    """Typed config underneath the argparse surface
+    (reference args at ``eval_ood_detection.py:15-51``)."""
+
+    in_dataset: str = "ImageNet"
+    root_dir: str = "datasets"
+    name: str = "eval_ood"
+    seed: int = 5
+    batch_size: int = 512
+    T: float = 1.0
+    model: str = "CLIP"
+    clip_ckpt: str = "ViT-B/16"
+    score: str = "MCM"
+    # Mahalanobis
+    feat_dim: Optional[int] = None          # derived from ckpt if None
+    normalize: bool = False
+    generate: bool = True
+    template_dir: str = "img_templates"
+    subset: bool = False
+    max_count: int = 250
+    # TPU-native extensions
+    precision: str = "fast"                 # fast (bf16) | parity (fp32)
+    model_parallel: int = 1
+    n_devices: Optional[int] = None
+    num_workers: Optional[int] = None
+    prefetch: int = 2
+    resume: bool = False
+    template_ensemble: bool = False         # 80-template prompt ensembling
+    ckpt_dir: Optional[str] = None
+    allow_random_weights: bool = False      # tests/smoke only
+    image_size: int = 224
+    out_datasets: Optional[List[str]] = None
+
+    @property
+    def log_directory(self) -> str:
+        # identical results layout (reference ``eval_ood_detection.py:48``)
+        return (f"results/{self.in_dataset}/{self.score}/"
+                f"{self.model}_{self.clip_ckpt}_T_{self.T_str}_ID_{self.name}")
+
+    @property
+    def T_str(self) -> str:
+        # reference --T is an int; print it like one when integral
+        return str(int(self.T)) if float(self.T).is_integer() else str(self.T)
+
+
+class _HashTokenizer:
+    """Deterministic fallback when no CLIP vocab is on disk (egress-free
+    smoke runs with random weights): words hash into the id space.  Useless
+    semantically, shape-identical mechanically — always warns."""
+
+    def __init__(self, vocab_size: int = 49408):
+        self.vocab_size = vocab_size
+        self.bos_id, self.eos_id = vocab_size - 2, vocab_size - 1
+        self.pad_id = self.eos_id
+
+    def __call__(self, texts: Sequence[str], pad_to_multiple: int = 8,
+                 context_length: Optional[int] = None):
+        import hashlib
+        rows = []
+        for t in texts:
+            ids = [self.bos_id]
+            for w in t.lower().split():
+                h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+                ids.append(h % (self.vocab_size - 2))
+            ids.append(self.eos_id)
+            rows.append(ids[:context_length] if context_length else ids)
+        width = max(len(r) for r in rows)
+        if pad_to_multiple:
+            width = -(-width // pad_to_multiple) * pad_to_multiple
+        out = np.full((len(rows), width), self.pad_id, dtype=np.int32)
+        mask = np.zeros_like(out)
+        for i, r in enumerate(rows):
+            out[i, :len(r)] = r
+            mask[i, :len(r)] = 1
+        return out, mask
+
+
+def build_model_and_step(cfg: RunConfig, log=None):
+    """Resolve weights + tokenizer, build the mesh-bound EvalStep."""
+    clip_cfg = CLIP_CONFIGS[cfg.clip_ckpt]()
+    precision = resolve_precision(cfg.precision)
+
+    params = resolve_clip_params(cfg.clip_ckpt, cfg.ckpt_dir)
+    if params is None:
+        if not cfg.allow_random_weights:
+            raise FileNotFoundError(
+                f"no pretrained weights for {cfg.clip_ckpt}; set "
+                f"MCM_TPU_CKPT_DIR (or --ckpt_dir) to a directory holding "
+                f"the converted .npz or an HF snapshot, or pass "
+                f"--allow_random_weights for smoke runs")
+        warnings.warn("RANDOM WEIGHTS in use — scores are meaningless; "
+                      "this mode is for smoke/throughput tests only")
+        import jax
+        params = init_clip(jax.random.key(0), clip_cfg)
+
+    tokenizer = CLIPTokenizer.resolve(cfg.ckpt_dir)
+    if tokenizer is None:
+        if not cfg.allow_random_weights:
+            raise FileNotFoundError(
+                "no CLIP vocab.json/merges.txt found; set MCM_TPU_CKPT_DIR")
+        warnings.warn("hash-fallback tokenizer in use (no CLIP vocab found)")
+        tokenizer = _HashTokenizer(clip_cfg.text.vocab_size)
+
+    mesh = make_mesh(cfg.n_devices, model_parallel=cfg.model_parallel)
+    step = EvalStep(clip_cfg, score=cfg.score if cfg.score != "maha" else "MCM",
+                    T=cfg.T, precision=precision, mesh=mesh)
+    return step.put_params(params), tokenizer, step
+
+
+def _encode_prompts(step: EvalStep, params, tokenizer, class_names,
+                    ensemble: bool):
+    """Tokenize + encode + L2-normalize the concept prompts, once per
+    dataset.  With ``ensemble=True``: 80-template CLIP ensembling
+    (per-class mean of normalized per-template embeddings, re-normalized)."""
+    from mcm_tpu.scores.clip_scores import l2_normalize
+    templates = (OPENAI_IMAGENET_TEMPLATES if ensemble
+                 else [DEFAULT_TEMPLATE])
+    prompts = build_prompts(class_names, templates)
+    ids, mask = tokenizer(prompts, pad_to_multiple=8)
+    text = step.encode_text(params, ids, mask)          # [T*C, D] normalized
+    if ensemble and len(templates) > 1:
+        n_t, n_c = len(templates), len(class_names)
+        text = text.reshape(n_t, n_c, -1).mean(axis=0)  # template-major order
+        text = l2_normalize(text)
+    return step.put_replicated(text)
+
+
+def score_dataset(step: EvalStep, params, dataset, text_feats,
+                  cfg: RunConfig, telemetry: Optional[Telemetry] = None,
+                  drop_remainder: bool = False) -> np.ndarray:
+    """Stream a dataset through the compiled score step.
+
+    Dispatch is async: batch i+1 uploads/computes while batch i reads back."""
+    tel = telemetry or Telemetry()
+    pipe = DataPipeline(dataset, cfg.batch_size, image_size=cfg.image_size,
+                        num_workers=cfg.num_workers, prefetch=cfg.prefetch,
+                        drop_remainder=drop_remainder)
+    pending: List = []   # (device_scores, valid)
+    outs: List[np.ndarray] = []
+    valids: List[int] = []
+
+    def drain(limit: int):
+        while len(pending) > limit:
+            dev_scores, valid = pending.pop(0)
+            with tel.stage("readback"):
+                outs.append(np.asarray(dev_scores))
+            valids.append(valid)
+
+    for batch in pipe:
+        with tel.stage("h2d"):
+            images = step.put_batch(batch.images)
+        with tel.stage("dispatch"):
+            pending.append((step.score(params, images, text_feats),
+                            batch.valid))
+        tel.add_images(batch.valid)
+        drain(1)  # stay one batch behind
+    drain(0)
+
+    total = (len(pipe) * cfg.batch_size if drop_remainder
+             else pipe.num_samples)
+    return collect_scores(outs, valids, min(total, sum(valids)))
+
+
+def extract_features(step: EvalStep, params, dataset, cfg: RunConfig
+                     ) -> tuple:
+    """All image features + labels for a dataset (Mahalanobis templates)."""
+    pipe = DataPipeline(dataset, cfg.batch_size, image_size=cfg.image_size,
+                        num_workers=cfg.num_workers, prefetch=cfg.prefetch)
+    feats, labels, valids = [], [], []
+    for batch in pipe:
+        f = step.features(params, step.put_batch(batch.images))
+        feats.append(np.asarray(f)[:batch.valid])
+        labels.append(batch.labels[:batch.valid])
+    return np.concatenate(feats), np.concatenate(labels)
+
+
+def _maha_templates(cfg: RunConfig, step: EvalStep, params, log):
+    """Estimate or load class means + precision (reference ``main:72-78``)."""
+    os.makedirs(cfg.template_dir, exist_ok=True)
+    tag = (f"{cfg.model}_{cfg.in_dataset}_{cfg.max_count}_{cfg.normalize}")
+    path = os.path.join(cfg.template_dir, f"templates_{tag}.npz")
+    if cfg.generate or not os.path.exists(path):
+        train_ds = set_train_loader(cfg.in_dataset, cfg.root_dir,
+                                    subset=cfg.subset,
+                                    max_count=cfg.max_count)
+        feats, labels = extract_features(step, params, train_ds, cfg)
+        n_cls = len(get_test_labels(cfg.in_dataset,
+                                    getattr(train_ds, "base", train_ds)))
+        mu, prec = estimate_mean_precision(feats, labels, n_cls,
+                                           normalize=cfg.normalize)
+        cond = np.linalg.cond(prec)
+        log.debug(f"cond number: {cond}")  # reference prints this (:174)
+        np.savez(path, classwise_mean=mu, precision=prec)
+    data = np.load(path)
+    return (step.put_replicated(data["classwise_mean"]),
+            step.put_replicated(data["precision"]))
+
+
+def maha_score_dataset(step: EvalStep, params, dataset, mu, prec,
+                       cfg: RunConfig, in_dist: bool) -> np.ndarray:
+    """Mahalanobis scoring pass.  Reference quirk preserved: OOD passes drop
+    the final partial batch (``detection_util.py:189``)."""
+    drop = not in_dist
+    pipe = DataPipeline(dataset, cfg.batch_size, image_size=cfg.image_size,
+                        num_workers=cfg.num_workers, prefetch=cfg.prefetch,
+                        drop_remainder=drop)
+    outs, valids = [], []
+    for batch in pipe:
+        f = step.features(params, step.put_batch(batch.images))
+        s = step.maha(f, mu, prec, normalize=cfg.normalize)
+        outs.append(np.asarray(s))
+        valids.append(batch.valid)
+    total = len(pipe) * cfg.batch_size if drop else pipe.num_samples
+    return collect_scores(outs, valids, min(total, sum(valids)))
+
+
+def run_eval(cfg: RunConfig) -> Dict[str, Dict[str, float]]:
+    """Full evaluation (reference ``main``, ``eval_ood_detection.py:53-99``).
+
+    Returns {out_dataset: {FPR95, AUROC, AUPR}} plus an "AVG" row."""
+    setup_seed(cfg.seed)
+    os.makedirs(cfg.log_directory, exist_ok=True)
+    log = setup_log(cfg.log_directory, cfg.name)
+    telemetry = Telemetry()
+
+    params, tokenizer, step = build_model_and_step(cfg, log)
+    out_datasets = cfg.out_datasets or default_out_datasets(cfg.in_dataset)
+
+    val_ds = set_val_loader(cfg.in_dataset, cfg.root_dir)
+    test_labels = get_test_labels(cfg.in_dataset, val_ds)
+
+    mu = prec = text_feats = None
+    if cfg.score == "maha":
+        mu, prec = _maha_templates(cfg, step, params, log)
+    else:
+        text_feats = _encode_prompts(step, params, tokenizer, test_labels,
+                                     cfg.template_ensemble)
+
+    def scores_for(dataset, ds_name, in_dist):
+        if cfg.resume:
+            cached = load_scores(cfg.log_directory, ds_name)
+            if cached is not None:
+                log.debug(f"resume: loaded cached scores for {ds_name}")
+                return cached
+        if cfg.score == "maha":
+            s = maha_score_dataset(step, params, dataset, mu, prec, cfg,
+                                   in_dist)
+        else:
+            s = score_dataset(step, params, dataset, text_feats, cfg,
+                              telemetry)
+        save_scores(cfg.log_directory, ds_name, s)
+        return s
+
+    in_score = scores_for(val_ds, f"ID_{cfg.in_dataset}", True)
+
+    auroc_list: List[float] = []
+    aupr_list: List[float] = []
+    fpr_list: List[float] = []
+    results: Dict[str, Dict[str, float]] = {}
+    for out_dataset in out_datasets:
+        log.debug(f"Evaluting OOD dataset {out_dataset}")  # sic (reference)
+        ood_ds = set_ood_loader(out_dataset, cfg.root_dir)
+        out_score = scores_for(ood_ds, out_dataset, False)
+        from scipy import stats
+        log.debug(f"in scores: {stats.describe(in_score)}")
+        log.debug(f"out scores: {stats.describe(out_score)}")
+        plot_distribution(cfg.log_directory, cfg.score, out_dataset,
+                          in_score, out_score)
+        auroc, aupr, fpr = get_measures(-in_score, -out_score)
+        print(f"in score samples (random sampled): {in_score[:3]}, "
+              f"out score samples: {out_score[:3]}")
+        print_measures(log, auroc, aupr, fpr, cfg.score)
+        auroc_list.append(auroc)
+        aupr_list.append(aupr)
+        fpr_list.append(fpr)
+        results[out_dataset] = {"FPR95": fpr, "AUROC": auroc, "AUPR": aupr}
+
+    log.debug("\n\nMean Test Results")
+    print_measures(log, float(np.mean(auroc_list)), float(np.mean(aupr_list)),
+                   float(np.mean(fpr_list)), method_name=cfg.score)
+    save_as_dataframe(cfg.log_directory, cfg.name, out_datasets, fpr_list,
+                      auroc_list, aupr_list)
+    results["AVG"] = {"FPR95": float(np.mean(fpr_list)),
+                      "AUROC": float(np.mean(auroc_list)),
+                      "AUPR": float(np.mean(aupr_list))}
+    log.debug(telemetry.report())
+    return results

@@ -1,0 +1,61 @@
+"""Per-stage timing + throughput meter.
+
+The reference has no profiling beyond tqdm bars (SURVEY.md §5); the
+north-star metric is images/sec/chip, so measurement is built into the
+runner: decode-wait / H2D / device-step / readback stage clocks and a
+running images/sec, plus optional JAX profiler traces."""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+from typing import Dict, Optional
+
+
+class Telemetry:
+    def __init__(self):
+        self.stage_seconds: Dict[str, float] = defaultdict(float)
+        self.stage_counts: Dict[str, int] = defaultdict(int)
+        self.images = 0
+        self._t0 = time.perf_counter()
+
+    @contextlib.contextmanager
+    def stage(self, name: str):
+        t = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.stage_seconds[name] += time.perf_counter() - t
+            self.stage_counts[name] += 1
+
+    def add_images(self, n: int):
+        self.images += n
+
+    @property
+    def wall(self) -> float:
+        return time.perf_counter() - self._t0
+
+    @property
+    def images_per_sec(self) -> float:
+        return self.images / max(self.wall, 1e-9)
+
+    def report(self) -> str:
+        lines = [f"images: {self.images}  wall: {self.wall:.2f}s  "
+                 f"throughput: {self.images_per_sec:.1f} img/s"]
+        for name, secs in sorted(self.stage_seconds.items()):
+            n = self.stage_counts[name]
+            lines.append(f"  {name:>12}: {secs:8.3f}s total "
+                         f"({1e3 * secs / max(n, 1):7.2f} ms/call × {n})")
+        return "\n".join(lines)
+
+
+@contextlib.contextmanager
+def maybe_profile(trace_dir: Optional[str]):
+    """JAX profiler trace when a directory is given."""
+    if not trace_dir:
+        yield
+        return
+    import jax
+    with jax.profiler.trace(trace_dir):
+        yield
