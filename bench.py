@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Headline benchmark: CLIP-B/16 ImageNet-1k MCM eval throughput per chip.
+
+Measures the steady-state device program of the eval hot loop — uint8 batch
+→ fused normalize → ViT-B/16 forward → MCM score against 1000 cached class
+embeddings — on the real TPU (weight values don't affect throughput; random
+init is used so the bench runs without checkpoints).
+
+Prints ONE JSON line:
+  {"metric": "images_per_sec_per_chip", "value": N, "unit": "img/s",
+   "vs_baseline": N}
+
+vs_baseline compares against the reference's hardware: the repo publishes
+no throughput (BASELINE.md), so the denominator is a measured-order estimate
+of PyTorch-1.10 fp32 HF-CLIP ViT-B/16 inference on one A100 at batch 512
+(~1100 img/s with TF32 matmuls).  North star: ≥10× on a v5e-8, i.e. ≥1.25×
+per chip — more is better.
+"""
+
+import json
+import time
+
+A100_REFERENCE_IMG_PER_SEC = 1100.0
+
+BATCH = 512
+N_CLASSES = 1000
+WARMUP = 3
+ITERS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mcm_tpu.config import CLIP_CONFIGS, Precision
+    from mcm_tpu.models.init import init_clip
+    from mcm_tpu.parallel import EvalStep, make_mesh
+    from mcm_tpu.scores import l2_normalize
+
+    cfg = CLIP_CONFIGS["ViT-B/16"]()
+    params = init_clip(jax.random.key(0), cfg)
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+    step = EvalStep(cfg, score="MCM", precision=Precision.fast(), mesh=mesh)
+    params = step.put_params(params)
+
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 256, size=(BATCH, 224, 224, 3), dtype=np.uint8)
+    text = rng.standard_normal((N_CLASSES, cfg.embed_dim)).astype(np.float32)
+    text = step.put_replicated(np.asarray(
+        l2_normalize(jnp.asarray(text))))
+
+    dev_images = step.put_batch(images)
+    for _ in range(WARMUP):
+        step.score(params, dev_images, text).block_until_ready()
+
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(ITERS):
+        out = step.score(params, dev_images, text)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    img_per_sec = BATCH * ITERS / dt
+    per_chip = img_per_sec / n_dev
+    print(json.dumps({
+        "metric": "images_per_sec_per_chip",
+        "value": round(per_chip, 1),
+        "unit": "img/s",
+        "vs_baseline": round(per_chip / A100_REFERENCE_IMG_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

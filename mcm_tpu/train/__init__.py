@@ -1,0 +1,4 @@
+from mcm_tpu.train.contrastive import (clip_contrastive_loss,  # noqa: F401
+                                       make_train_step)
+from mcm_tpu.train.linear_probe import (LinearProbe,  # noqa: F401
+                                        make_linear_probe_step)

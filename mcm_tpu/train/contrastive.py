@@ -1,0 +1,103 @@
+"""CLIP contrastive fine-tuning — the training side of the framework.
+
+The reference is inference-only but carries a fine-tuned-checkpoint loading
+path (``CLIP-Linear``, ``/root/reference/utils/train_eval_util.py:24-25``);
+this module supplies the step that *produces* such checkpoints, TPU-native:
+
+* symmetric InfoNCE over ``logit_scale · img@txtᵀ`` (standard CLIP loss);
+* one jitted train step: normalize → both towers → loss → grad → optax
+  update, sharded over the (data × model) mesh with the same TP param
+  specs as inference (gradients inherit the param shardings; XLA inserts
+  the data-axis psum for gradient accumulation);
+* gradient checkpointing (``jax.checkpoint`` over the scanned block) trades
+  FLOPs for HBM so large towers train at useful batch sizes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mcm_tpu.config import CLIPConfig, Precision
+from mcm_tpu.data.transforms import CLIP_MEAN, CLIP_STD, normalize_on_device
+from mcm_tpu.models import clip as jclip
+from mcm_tpu.parallel import mesh as meshlib
+from mcm_tpu.scores.clip_scores import l2_normalize
+
+
+def clip_contrastive_loss(image_feats: jax.Array, text_feats: jax.Array,
+                          logit_scale: jax.Array) -> jax.Array:
+    """Symmetric cross-entropy over the similarity matrix (fp32)."""
+    img = l2_normalize(image_feats).astype(jnp.float32)
+    txt = l2_normalize(text_feats).astype(jnp.float32)
+    scale = jnp.exp(logit_scale.astype(jnp.float32))
+    logits = scale * jnp.dot(img, txt.T, preferred_element_type=jnp.float32)
+    labels = jnp.arange(logits.shape[0])
+    loss_i = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    loss_t = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels)
+    return 0.5 * (jnp.mean(loss_i) + jnp.mean(loss_t))
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_train_step(cfg: CLIPConfig,
+                    optimizer: Optional[optax.GradientTransformation] = None,
+                    precision: Precision = Precision.fast(),
+                    mesh=None, remat: bool = True
+                    ) -> Tuple[Callable, Callable]:
+    """Build (init_state, train_step), both jitted over ``mesh``.
+
+    ``train_step(state, images_u8 [B,H,W,3], input_ids [B,S], mask [B,S])
+    → (state, loss)``; batch sharded on the data axis, params/optimizer
+    state TP-sharded, loss replicated.
+    """
+    optimizer = optimizer or optax.adamw(1e-5, weight_decay=0.2)
+    mesh = mesh if mesh is not None else meshlib.make_mesh(1)
+
+    param_sh = meshlib.param_shardings(mesh)
+    batch_sh = meshlib.batch_sharding(mesh)
+    repl = meshlib.replicated(mesh)
+
+    def encode_image(params, x):
+        return jclip.encode_image(params, cfg.vision, x, precision)
+
+    def encode_text(params, ids, mask):
+        return jclip.encode_text(params, cfg.text, ids, mask, precision)
+
+    if remat:
+        encode_image = jax.checkpoint(encode_image)
+        encode_text = jax.checkpoint(encode_text)
+
+    def loss_fn(params, images_u8, input_ids, mask):
+        x = normalize_on_device(images_u8, CLIP_MEAN, CLIP_STD,
+                                dtype=precision.activation_dtype)
+        img = encode_image(params, x)
+        txt = encode_text(params, input_ids, mask)
+        return clip_contrastive_loss(img, txt, params["logit_scale"])
+
+    def train_step(state: TrainState, images_u8, input_ids, mask):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, images_u8,
+                                                  input_ids, mask)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    def init_state(params) -> TrainState:
+        return TrainState(params, optimizer.init(params),
+                          jnp.zeros((), jnp.int32))
+
+    opt_sh = None  # optimizer state sharding mirrors params; let jit infer
+    jitted_step = jax.jit(
+        train_step,
+        in_shardings=(None, batch_sh, batch_sh, batch_sh),
+        out_shardings=(None, repl))
+    return init_state, jitted_step
