@@ -38,12 +38,20 @@ def main():
     from mcm_tpu.parallel import EvalStep, make_mesh
     from mcm_tpu.scores import l2_normalize
 
+    import dataclasses
+    import os
+
     cfg = CLIP_CONFIGS["ViT-B/16"]()
     params = init_clip(jax.random.key(0), cfg)
 
     n_dev = len(jax.devices())
     mesh = make_mesh(n_dev)
-    step = EvalStep(cfg, score="MCM", precision=Precision.fast(), mesh=mesh)
+    precision = Precision.fast()
+    # experimentation knob: MCM_BENCH_ATTN=pallas|xla|auto
+    attn = os.environ.get("MCM_BENCH_ATTN")
+    if attn:
+        precision = dataclasses.replace(precision, attn_impl=attn)
+    step = EvalStep(cfg, score="MCM", precision=precision, mesh=mesh)
     params = step.put_params(params)
 
     rng = np.random.default_rng(0)
@@ -52,15 +60,26 @@ def main():
     text = step.put_replicated(np.asarray(
         l2_normalize(jnp.asarray(text))))
 
-    dev_images = step.put_batch(images)
-    for _ in range(WARMUP):
-        step.score(params, dev_images, text).block_until_ready()
+    # distinct device-resident batches (defeats any executable/result
+    # caching in tunneled dev environments); scores are read back one batch
+    # behind the dispatch, exactly like the production scoring loop.
+    # NOTE: block_until_ready is not a reliable sync on all dev platforms —
+    # host readback of each score vector is the ground-truth barrier.
+    dev_batches = [step.put_batch(
+        rng.integers(0, 256, size=(BATCH, 224, 224, 3), dtype=np.uint8))
+        for _ in range(4)]
+    for i in range(WARMUP):
+        np.asarray(step.score(params, dev_batches[i % 4], text))
 
+    from collections import deque
+    pending = deque()
     t0 = time.perf_counter()
-    out = None
-    for _ in range(ITERS):
-        out = step.score(params, dev_images, text)
-    out.block_until_ready()
+    for i in range(ITERS):
+        pending.append(step.score(params, dev_batches[i % 4], text))
+        if len(pending) > 1:
+            np.asarray(pending.popleft())
+    while pending:
+        np.asarray(pending.popleft())
     dt = time.perf_counter() - t0
 
     img_per_sec = BATCH * ITERS / dt

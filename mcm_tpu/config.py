@@ -133,6 +133,9 @@ class Precision:
     #: lax matmul precision: "highest" forces true-fp32 MXU passes (parity);
     #: "default" lets fp32 inputs go through bf16x3/bf16 fast paths (speed).
     matmul_precision: str = "default"
+    #: attention implementation: "auto" picks the fused Pallas kernel on TPU
+    #: for unmasked (vision) attention, XLA otherwise; "pallas"/"xla" force.
+    attn_impl: str = "auto"
     # LayerNorm / softmax always run in fp32 regardless of activation dtype.
 
     @staticmethod

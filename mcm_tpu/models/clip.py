@@ -76,20 +76,14 @@ def mha_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     """Multi-head attention core, softmax in fp32.
 
     q, k, v: [B, H, S, Dh].  mask: additive fp32 [B, 1, S, S] or None.
-    Returns [B, H, S, Dh] in q.dtype.
+    Returns [B, H, S, Dh] in q.dtype.  Routed through the fused Pallas
+    kernel on TPU for unmasked (encoder) attention — the XLA path's
+    HBM-materialized [B, H, S, S] tensor is the hot loop's bandwidth
+    bottleneck (see ops.attention).
     """
-    compute_dtype = q.dtype
-    scale = q.shape[-1] ** -0.5
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
-                        precision=precision.matmul_precision,
-                        preferred_element_type=jnp.float32)
-    if mask is not None:
-        logits = logits + mask
-    probs = jax.nn.softmax(logits, axis=-1).astype(compute_dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
-                     precision=precision.matmul_precision,
-                     preferred_element_type=jnp.float32)
-    return out.astype(compute_dtype)
+    from mcm_tpu.ops.attention import fused_attention
+    impl = None if precision.attn_impl == "auto" else precision.attn_impl
+    return fused_attention(q, k, v, mask, precision, impl=impl)
 
 
 def _split_heads(x: jax.Array, heads: int) -> jax.Array:

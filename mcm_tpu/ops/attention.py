@@ -1,0 +1,110 @@
+"""Fused attention Pallas kernel for the ViT encoder shapes.
+
+Replaces the XLA path's materialized [B, H, S, S] probability tensor
+(e.g. 953 MB fp32 at B=512, H=12, S=197) with a VMEM-resident
+QKᵀ → softmax → PV fusion: each grid program holds one query tile and the
+full K/V for its (batch, head) — encoder sequences are short (50–257), so
+no online-softmax streaming is needed; the whole score row fits on chip.
+
+Layout: [B*H, S, Dh] per (batch·head) program, query-tiled.  Tail query
+tiles (S not a multiple of the tile) are handled by Pallas edge padding —
+garbage rows compute but never store.  Softmax runs in fp32; both matmuls
+accumulate fp32 on the MXU.
+
+Falls back to the pure-jnp implementation (identical numerics, tested)
+off-TPU or when an additive mask is supplied (the 77-token text tower is
+too small to matter).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from mcm_tpu.config import Precision
+
+
+def _xla_attention(q, k, v, mask, precision: Precision):
+    """Reference implementation (mirrors models.clip.mha_attention)."""
+    compute_dtype = q.dtype
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+                        precision=precision.matmul_precision,
+                        preferred_element_type=jnp.float32)
+    if mask is not None:
+        logits = logits + mask
+    probs = jax.nn.softmax(logits, axis=-1).astype(compute_dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v,
+                      precision=precision.matmul_precision,
+                      preferred_element_type=jnp.float32
+                      ).astype(compute_dtype)
+
+
+def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    q = q_ref[0].astype(jnp.float32) * scale          # [blk_q, Dh]
+    k = k_ref[0].astype(jnp.float32)                  # [S, Dh]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)           # [blk_q, S]
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.dot(p.astype(v_ref.dtype), v_ref[0],
+                preferred_element_type=jnp.float32)   # [blk_q, Dh]
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q",))
+def _pallas_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                      block_q: int = 128) -> jax.Array:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, s, dh = q.shape
+    scale = dh ** -0.5
+    qf = q.reshape(b * h, s, dh)
+    kf = k.reshape(b * h, s, dh)
+    vf = v.reshape(b * h, s, dh)
+
+    grid = (b * h, pl.cdiv(s, block_q))
+    out = pl.pallas_call(
+        functools.partial(_attention_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, dh), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, dh), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, dh), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dh), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, s, dh), q.dtype),
+    )(qf, kf, vf)
+    return out.reshape(b, h, s, dh)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except RuntimeError:
+        return False
+
+
+def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    mask: Optional[jax.Array] = None,
+                    precision: Precision = Precision.fast(),
+                    impl: Optional[str] = None) -> jax.Array:
+    """Multi-head attention [B, H, S, Dh] → [B, H, S, Dh].
+
+    ``impl``: "pallas" | "xla" | None (auto: pallas on TPU when unmasked).
+    """
+    if impl is None:
+        impl = "pallas" if (mask is None and _on_tpu()) else "xla"
+    if impl == "pallas" and mask is None:
+        return _pallas_attention(q, k, v)
+    return _xla_attention(q, k, v, mask, precision)

@@ -1,0 +1,115 @@
+"""Fused MCM-score Pallas kernel.
+
+One VMEM pass per query tile: L2-normalize image features, matmul against
+the cached normalized text matrix, temperature softmax, and the score
+reduction — logits never round-trip to HBM (reference math:
+``detection_util.py:226-248``).  Matters most at ImageNet scale
+(C=1000) where the XLA path materializes a [B, C] fp32 logits tensor
+between fusions.
+
+Scores follow the same lower-is-ID sign convention as
+:mod:`mcm_tpu.scores.clip_scores`; equivalence is tested against that
+module on every score variant.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from mcm_tpu.scores.clip_scores import CLIP_SCORES, compute_scores
+
+
+def _score_kernel(img_ref, txt_ref, o_ref, *, score: str, T: float,
+                  n_classes: int):
+    img = img_ref[:].astype(jnp.float32)                      # [blk, D]
+    norm = jax.lax.rsqrt(jnp.sum(img * img, axis=-1, keepdims=True))
+    imgn = img * norm
+    txt = txt_ref[:].astype(jnp.float32)                      # [C, D]
+    logits = jax.lax.dot_general(imgn, txt, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    # mask the padded class columns (C padded to a lane multiple)
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    valid = col < n_classes
+    neg_inf = jnp.float32(-1e30)
+    logits = jnp.where(valid, logits, neg_inf)
+
+    scaled = logits / T
+    m = jnp.max(scaled, axis=-1, keepdims=True)
+    e = jnp.where(valid, jnp.exp(scaled - m), 0.0)
+    z = jnp.sum(e, axis=-1, keepdims=True)
+    smax = e / z
+
+    if score == "MCM":
+        out = -jnp.max(smax, axis=-1)
+    elif score == "max-logit":
+        out = -jnp.max(logits, axis=-1)
+    elif score == "energy":
+        out = -(T * (jnp.log(z[:, 0]) + m[:, 0]))
+    elif score == "entropy":
+        out = -jnp.sum(jnp.where(smax > 0, smax * jnp.log(smax), 0.0),
+                       axis=-1)
+    elif score == "var":
+        mean = jnp.sum(smax, axis=-1, keepdims=True) / n_classes
+        sq = jnp.where(valid, jnp.square(smax - mean), 0.0)
+        out = -(jnp.sum(sq, axis=-1) / n_classes)
+    else:
+        raise ValueError(f"unknown score {score}")
+    o_ref[:] = out[:, None]
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("score", "T", "block_b"))
+def _pallas_mcm(image_feats: jax.Array, text_feats: jax.Array,
+                score: str, T: float, block_b: int = 256) -> jax.Array:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, d = image_feats.shape
+    c = text_feats.shape[0]
+    c_pad = _round_up(c, 128)
+    txt = jnp.zeros((c_pad, d), jnp.float32).at[:c].set(
+        text_feats.astype(jnp.float32))
+
+    out = pl.pallas_call(
+        functools.partial(_score_kernel, score=score, T=float(T),
+                          n_classes=c),
+        grid=(pl.cdiv(b, block_b),),
+        in_specs=[
+            pl.BlockSpec((block_b, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_pad, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 1), jnp.float32),
+    )(image_feats, txt)
+    return out[:, 0]
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except RuntimeError:
+        return False
+
+
+def fused_mcm_scores(image_feats: jax.Array, text_feats: jax.Array,
+                     score: str = "MCM", T: float = 1.0,
+                     impl: Optional[str] = None) -> jax.Array:
+    """[B, D] raw image features × [C, D] normalized text → [B] scores.
+
+    ``impl``: "pallas" | "xla" | None (auto)."""
+    assert score in CLIP_SCORES, score
+    if impl is None:
+        impl = "pallas" if _on_tpu() else "xla"
+    if impl == "pallas":
+        return _pallas_mcm(image_feats, text_feats, score, float(T))
+    return compute_scores(image_feats, text_feats, score=score, T=float(T))

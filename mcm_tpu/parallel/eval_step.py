@@ -52,15 +52,27 @@ class EvalStep:
         self.cfg = cfg
         self.score_name = score
         self.T = float(T)
-        self.precision = precision
         self.mesh = mesh if mesh is not None else meshlib.make_mesh(1)
+        # Pallas kernels are opaque to the SPMD partitioner — use them on a
+        # single-device mesh; multi-device meshes run the XLA path (a
+        # shard_map'd pallas path is a planned optimization).
+        if self.mesh.size > 1 and precision.attn_impl == "auto":
+            import dataclasses
+            precision = dataclasses.replace(precision, attn_impl="xla")
+        self.precision = precision
 
         batch_sh = meshlib.batch_sharding(self.mesh)
         repl = meshlib.replicated(self.mesh)
         param_sh = meshlib.param_shardings(self.mesh)
 
+        use_fused_score = self.mesh.size == 1
+
         def score_fn(params, images_u8, text_feats):
-            feats = _encode_pixels(params, cfg, images_u8, precision)
+            feats = _encode_pixels(params, cfg, images_u8, self.precision)
+            if use_fused_score:
+                from mcm_tpu.ops.mcm_score import fused_mcm_scores
+                return fused_mcm_scores(feats.astype(jnp.float32),
+                                        text_feats, score, self.T)
             logits = similarity_logits(feats, text_feats)
             return _scores_from_logits(logits, self.T)[score]
 

@@ -1,0 +1,68 @@
+"""ODIN-style input preprocessing: gradient-sign perturbation of inputs.
+
+Reference: ``/root/reference/utils/detection_util.py:122-146``
+(``input_preprocessing``): pseudo-label the batch with its own argmax,
+backprop the NLL to the *inputs*, and nudge the image against the gradient
+sign (scaled per channel by the normalization std) so ID inputs become more
+confident — sharpening the ID/OOD separation before scoring.
+
+The reference needs ``images.grad`` bookkeeping; in JAX this is one
+``jax.grad`` over a pure function of the images.  The perturbation is in
+*normalized* image space (the reference perturbs post-Normalize tensors) —
+callers normalize first, perturb, then score.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from mcm_tpu.data.transforms import CLIP_STD
+
+
+def _nll_of_pseudo_labels(logits: jax.Array) -> jax.Array:
+    pseudo = jnp.argmax(jax.lax.stop_gradient(logits), axis=-1)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, pseudo[:, None],
+                                         axis=-1))
+
+
+def odin_perturb(logits_fn: Callable[[jax.Array], jax.Array],
+                 images: jax.Array, noise_magnitude: float,
+                 std=CLIP_STD) -> jax.Array:
+    """Perturbed images (same shape/space as ``images``).
+
+    ``logits_fn(images) → [B, C]`` logits already divided by T;
+    ``images`` NHWC normalized floats.  Matches the reference update
+    ``x - ε · sign(∂NLL/∂x)/std`` (``:138-145``; their sign_grad is the
+    negative gradient sign because the loss is NLL).
+    """
+    grad = jax.grad(lambda x: _nll_of_pseudo_labels(logits_fn(x)))(images)
+    sign = jnp.where(grad >= 0, 1.0, -1.0)
+    sign = sign / jnp.asarray(std, dtype=sign.dtype)  # NHWC channel last
+    return images - noise_magnitude * sign
+
+
+def make_odin_clip_perturb(encode_image_fn: Callable, text_feats: jax.Array,
+                           T: float = 1.0,
+                           noise_magnitude: float = 0.0014):
+    """ODIN perturbation bound to a CLIP image tower + cached text features.
+
+    ``encode_image_fn(normalized_images) → [B, D]`` raw image features.
+    Returns a jittable ``perturb(images) → images`` closure.
+    """
+
+    def logits_fn(images):
+        feats = encode_image_fn(images)
+        feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+        return jnp.dot(feats.astype(jnp.float32),
+                       text_feats.astype(jnp.float32).T) / T
+
+    @jax.jit
+    def perturb(images):
+        return odin_perturb(logits_fn, images, noise_magnitude)
+
+    return perturb

@@ -1,0 +1,125 @@
+"""Pallas kernels vs their pure-jnp references (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from mcm_tpu.config import Precision
+from mcm_tpu.ops.attention import _pallas_attention, _xla_attention
+from mcm_tpu.ops.mcm_score import _pallas_mcm
+from mcm_tpu.ops.preprocess import (center_square_crop_u8, resize_matrix,
+                                    resize_normalize)
+from mcm_tpu.scores import CLIP_SCORES, compute_scores, l2_normalize
+
+
+# -- fused attention ----------------------------------------------------------
+
+@pytest.mark.parametrize("shape", [(2, 4, 197, 64), (1, 2, 50, 32),
+                                   (2, 3, 257, 64)])
+def test_pallas_attention_matches_xla(rng, shape):
+    q, k, v = (jnp.asarray(rng.standard_normal(shape), jnp.float32)
+               for _ in range(3))
+    want = _xla_attention(q, k, v, None, Precision.parity())
+    with pltpu.force_tpu_interpret_mode():
+        got = _pallas_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_attention_bf16(rng):
+    shape = (2, 2, 197, 64)
+    q, k, v = (jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
+               for _ in range(3))
+    want = _xla_attention(q, k, v, None, Precision.fast())
+    with pltpu.force_tpu_interpret_mode():
+        got = _pallas_attention(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(got, dtype=np.float32), np.asarray(want, dtype=np.float32),
+        rtol=0.05, atol=0.05)
+
+
+# -- fused MCM score ----------------------------------------------------------
+
+@pytest.mark.parametrize("score", CLIP_SCORES)
+@pytest.mark.parametrize("n_classes", [10, 100, 1000, 37])
+def test_pallas_mcm_matches_reference(rng, score, n_classes):
+    img = jnp.asarray(rng.standard_normal((32, 64)), jnp.float32)
+    txt = l2_normalize(jnp.asarray(rng.standard_normal((n_classes, 64)),
+                                   jnp.float32))
+    want = compute_scores(img, txt, score=score, T=1.0)
+    with pltpu.force_tpu_interpret_mode():
+        got = _pallas_mcm(img, txt, score, 1.0, block_b=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_mcm_temperature(rng):
+    img = jnp.asarray(rng.standard_normal((8, 32)), jnp.float32)
+    txt = l2_normalize(jnp.asarray(rng.standard_normal((5, 32)), jnp.float32))
+    want = compute_scores(img, txt, score="MCM", T=2.0)
+    with pltpu.force_tpu_interpret_mode():
+        got = _pallas_mcm(img, txt, "MCM", 2.0, block_b=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4)
+
+
+# -- device resize ------------------------------------------------------------
+
+def test_resize_matrix_rows_sum_to_one():
+    for in_s, out_s in [(256, 224), (512, 224), (224, 224), (100, 224)]:
+        A = resize_matrix(in_s, out_s)
+        np.testing.assert_allclose(A.sum(axis=1), 1.0, rtol=1e-5)
+
+
+def test_resize_identity():
+    A = resize_matrix(224, 224)
+    np.testing.assert_allclose(A, np.eye(224), atol=1e-6)
+
+
+@pytest.mark.parametrize("in_size", [256, 448, 137])
+def test_device_resize_matches_pil(rng, in_size):
+    """Device matmul-resize vs PIL bilinear on the same square crop.
+
+    PIL rounds its output to uint8 (and quantizes coefficients), so the
+    float path differs by ≤ ~1.5 pixel units; normalized space ÷ std≈0.26."""
+    img = rng.integers(0, 256, size=(in_size, in_size, 3), dtype=np.uint8)
+    pil = Image.fromarray(img).resize((224, 224), Image.BILINEAR)
+    pil_np = np.asarray(pil).astype(np.float32)
+
+    from mcm_tpu.data.transforms import normalize_host
+    want = normalize_host(pil_np)
+
+    got = np.asarray(resize_normalize(jnp.asarray(img[None]), 224))[0]
+    err = np.abs(got - want) * 255.0 * 0.26  # back to ~pixel units
+    assert err.max() < 1.6, err.max()
+    assert err.mean() < 0.5, err.mean()
+
+
+def test_center_square_crop(rng):
+    img = rng.integers(0, 256, size=(100, 60, 3), dtype=np.uint8)
+    out = center_square_crop_u8(img)
+    assert out.shape == (60, 60, 3)
+    np.testing.assert_array_equal(out, img[20:80])
+
+
+def test_crop_then_resize_equals_resize_then_crop():
+    """The device pipeline's reordering (square-crop → resize) must match the
+    reference order (resize-shorter-side → center-crop) closely on natural
+    (smooth) content.  The two orders sample sub-pixel-shifted grids (the
+    intermediate width rounds to an int), so equivalence is approximate by
+    design — documented in ops.preprocess."""
+    from mcm_tpu.data.transforms import preprocess_uint8
+    yy, xx = np.mgrid[0:300, 0:400].astype(np.float32)
+    img = np.stack([(yy / 300 * 255), (xx / 400 * 255),
+                    ((yy + xx) / 700 * 255)], axis=-1).astype(np.uint8)
+    ref = preprocess_uint8(Image.fromarray(img), 224).astype(np.float64)
+
+    crop = center_square_crop_u8(img)
+    alt = np.asarray(Image.fromarray(crop).resize((224, 224),
+                                                  Image.BILINEAR),
+                     dtype=np.float64)
+    assert np.abs(ref - alt).mean() < 1.0
+    assert np.abs(ref - alt).max() < 4.0
