@@ -1,10 +1,12 @@
-"""Host data pipeline: parallel decode + prefetch feeding static-shape batches.
+"""Host data pipeline: native batch decode + prefetch feeding static batches.
 
 Replaces the reference's ``torch.utils.data.DataLoader(num_workers=4,
-pin_memory=True)`` (``/root/reference/utils/train_eval_util.py:49,96``) with
-a thread-pool decoder (PIL releases the GIL during JPEG decode/resize) and a
-bounded prefetch queue, so host decode overlaps device compute — the
-double-buffered feed called for by the north star (BASELINE.md).
+pin_memory=True)`` (``/root/reference/utils/train_eval_util.py:49,96``).
+Decode runs through the C++ libjpeg pipeline
+(:mod:`mcm_tpu.runtime.native` — GIL-free thread pool, PIL-parity triangle
+resample, optional DCT-prescaled decode) with per-image PIL fallback for
+non-JPEG/corrupt files; batches are prepared ahead of the consumer on a
+bounded queue so host decode overlaps device compute.
 
 Batches are **uint8 HWC with static shapes**: the final partial batch is
 padded (``valid`` marks real rows) so the jitted device step never
@@ -18,7 +20,7 @@ import os
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Iterator, NamedTuple, Optional, Sequence, Tuple
+from typing import Iterator, List, NamedTuple, Optional, Sequence
 
 import numpy as np
 
@@ -36,22 +38,31 @@ class DataPipeline:
 
     Parameters
     ----------
-    dataset:      indexable of (path, label) with __len__.
-    batch_size:   static batch size (padded final batch).
-    image_size:   square output resolution (resize shorter side + center crop).
-    num_workers:  decoder threads (default: min(16, cpu count)).
-    prefetch:     batches resident in the queue ahead of the consumer.
+    dataset:        indexable of (path, label) with __len__.
+    batch_size:     static batch size (padded final batch).
+    image_size:     square output resolution (shorter-side resize + crop).
+    num_workers:    decode threads (default: min(32, cpu count)).
+    prefetch:       batches decoded ahead of the consumer.
+    use_native:     C++ libjpeg pipeline (auto-falls back if unavailable).
+    fast_decode:    DCT-prescaled decode (≥2× target res kept; slight
+                    pixel deviation, throughput mode).
     """
 
     def __init__(self, dataset, batch_size: int, image_size: int = 224,
                  num_workers: Optional[int] = None, prefetch: int = 2,
-                 drop_remainder: bool = False):
+                 drop_remainder: bool = False, use_native: bool = True,
+                 fast_decode: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.image_size = image_size
-        self.num_workers = num_workers or min(16, os.cpu_count() or 4)
+        self.num_workers = num_workers or min(32, os.cpu_count() or 4)
         self.prefetch = max(1, prefetch)
         self.drop_remainder = drop_remainder
+        self.fast_decode = fast_decode
+        if use_native:
+            from mcm_tpu.runtime.native import native_available
+            use_native = native_available()
+        self.use_native = use_native
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -63,9 +74,46 @@ class DataPipeline:
     def num_samples(self) -> int:
         return len(self.dataset)
 
-    def _decode(self, idx: int) -> Tuple[np.ndarray, int]:
-        path, label = self.dataset[idx]
-        return load_image_uint8(path, self.image_size), label
+    # -- batch decode ---------------------------------------------------------
+
+    def _decode_batch(self, lo: int, hi: int) -> Batch:
+        size = self.image_size
+        paths: List[str] = []
+        labels = np.zeros((self.batch_size,), dtype=np.int32)
+        for row, i in enumerate(range(lo, hi)):
+            path, label = self.dataset[i]
+            paths.append(path)
+            labels[row] = label
+
+        images = np.zeros((self.batch_size, size, size, 3), dtype=np.uint8)
+        todo = list(range(len(paths)))
+        if self.use_native:
+            from mcm_tpu.runtime.native import decode_batch
+            out, status = decode_batch(paths, size,
+                                       n_threads=self.num_workers,
+                                       fast=self.fast_decode)
+            if out is not None:
+                images[:len(paths)] = out
+                todo = [i for i in range(len(paths)) if status[i] != 0]
+        if todo:  # PIL fallback (non-JPEG formats, corrupt files)
+            if len(todo) > 1 and self.num_workers > 1:
+                with ThreadPoolExecutor(min(self.num_workers,
+                                            len(todo))) as pool:
+                    for i, img in zip(todo, pool.map(
+                            lambda i: load_image_uint8(paths[i], size),
+                            todo)):
+                        images[i] = img
+            else:
+                for i in todo:
+                    images[i] = load_image_uint8(paths[i], size)
+
+        valid = hi - lo
+        if valid:  # replicate last real row into padding rows
+            images[valid:] = images[valid - 1]
+            labels[valid:] = labels[valid - 1]
+        return Batch(images, labels, valid)
+
+    # -- iteration ------------------------------------------------------------
 
     def __iter__(self) -> Iterator[Batch]:
         n = len(self.dataset)
@@ -75,50 +123,35 @@ class DataPipeline:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
-        def producer(pool: ThreadPoolExecutor):
+        def producer():
             try:
                 for b in range(num_batches):
                     if stop.is_set():
                         return
                     lo = b * self.batch_size
                     hi = min(lo + self.batch_size, n)
-                    futures = [pool.submit(self._decode, i)
-                               for i in range(lo, hi)]
-                    q.put(("batch", futures, hi - lo))
-                q.put(("done", None, 0))
+                    q.put(("batch", self._decode_batch(lo, hi)))
+                q.put(("done", None))
             except BaseException as e:  # surface worker errors to consumer
-                q.put(("error", e, 0))
+                q.put(("error", e))
 
-        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-            thread = threading.Thread(target=producer, args=(pool,),
-                                      daemon=True)
-            thread.start()
-            try:
-                while True:
-                    kind, payload, valid = q.get()
-                    if kind == "done":
-                        return
-                    if kind == "error":
-                        raise payload
-                    images = np.zeros((self.batch_size, self.image_size,
-                                       self.image_size, 3), dtype=np.uint8)
-                    labels = np.zeros((self.batch_size,), dtype=np.int32)
-                    for row, fut in enumerate(payload):
-                        img, label = fut.result()
-                        images[row] = img
-                        labels[row] = label
-                    if valid:  # replicate last real row into padding rows
-                        images[valid:] = images[valid - 1]
-                        labels[valid:] = labels[valid - 1]
-                    yield Batch(images, labels, valid)
-            finally:
-                stop.set()
-                # drain so the producer can exit
-                while not q.empty():
-                    try:
-                        q.get_nowait()
-                    except queue.Empty:
-                        break
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                kind, payload = q.get()
+                if kind == "done":
+                    return
+                if kind == "error":
+                    raise payload
+                yield payload
+        finally:
+            stop.set()
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
 
 
 def collect_scores(score_batches: Sequence[np.ndarray],

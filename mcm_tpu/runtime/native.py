@@ -1,0 +1,105 @@
+"""ctypes bindings + build for the native host decoder.
+
+The shared object is compiled on first use (g++ -O3 -march=native against
+libjpeg) and cached next to the source; environments without a toolchain or
+libjpeg fall back to the PIL pipeline transparently
+(:func:`native_available` gates the fast path)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+import warnings
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "decoder.cpp")
+_SO = os.path.join(_DIR, "_libmcmdecoder.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_failed = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           _SRC, "-o", _SO, "-ljpeg", "-pthread"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True,
+                       timeout=240)
+        return True
+    except (subprocess.SubprocessError, FileNotFoundError) as e:
+        detail = getattr(e, "stderr", "") or str(e)
+        warnings.warn(f"native decoder build failed ({detail[:400]}); "
+                      "falling back to PIL")
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _failed
+    with _lock:
+        if _lib is not None or _failed:
+            return _lib
+        if not os.path.exists(_SO) or (os.path.getmtime(_SO)
+                                       < os.path.getmtime(_SRC)):
+            if not _build():
+                _failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError as e:
+            warnings.warn(f"native decoder load failed ({e})")
+            _failed = True
+            return None
+        lib.mcm_decode_one.restype = ctypes.c_int
+        lib.mcm_decode_one.argtypes = [
+            ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int]
+        lib.mcm_decode_batch.restype = ctypes.c_int
+        lib.mcm_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int)]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def decode_one(path: str, size: int = 224,
+               fast: bool = False) -> Optional[np.ndarray]:
+    """uint8 [size, size, 3] or None if the native path can't decode it."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty((size, size, 3), dtype=np.uint8)
+    rc = lib.mcm_decode_one(
+        path.encode(), size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), int(fast))
+    return out if rc == 0 else None
+
+
+def decode_batch(paths: Sequence[str], size: int = 224,
+                 n_threads: int = 0, fast: bool = False
+                 ) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
+    """(uint8 [N, size, size, 3], status [N]) — status≠0 rows failed and
+    must be re-decoded by the fallback.  (None, None) when unavailable."""
+    lib = _load()
+    if lib is None:
+        return None, None
+    n = len(paths)
+    out = np.empty((n, size, size, 3), dtype=np.uint8)
+    status = np.zeros((n,), dtype=np.int32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    n_threads = n_threads or min(32, os.cpu_count() or 4)
+    lib.mcm_decode_batch(
+        arr, n, size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        n_threads, int(fast), status.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int)))
+    return out, status

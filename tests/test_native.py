@@ -1,0 +1,82 @@
+"""Native C++ decoder: parity vs the PIL pipeline, fallback, threading."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from mcm_tpu.data.transforms import load_image_uint8
+from mcm_tpu.runtime.native import (decode_batch, decode_one,
+                                    native_available)
+
+pytestmark = pytest.mark.skipif(not native_available(),
+                                reason="native decoder unavailable")
+
+
+@pytest.fixture(scope="module")
+def jpegs(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("jpegs")
+    paths = []
+    shapes = [(300, 400), (400, 300), (224, 224), (100, 80), (1000, 700)]
+    for i, (h, w) in enumerate(shapes):
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack([yy % 256, xx % 256, (yy + xx) % 256],
+                       -1).astype(np.uint8)
+        p = str(tmp / f"img{i}.jpg")
+        Image.fromarray(img).save(p, quality=92)
+        paths.append(p)
+    # grayscale jpeg
+    g = str(tmp / "gray.jpg")
+    Image.fromarray((np.mgrid[0:50, 0:70][0] % 256).astype(np.uint8),
+                    "L").save(g)
+    paths.append(g)
+    # a PNG (native can't decode → fallback territory)
+    png = str(tmp / "img.png")
+    Image.fromarray(np.zeros((64, 64, 3), np.uint8)).save(png)
+    return paths, png
+
+
+def test_decode_parity_vs_pil(jpegs):
+    paths, _ = jpegs
+    for p in paths:
+        ref = load_image_uint8(p, 224).astype(np.int32)
+        got = decode_one(p, 224)
+        assert got is not None, p
+        diff = np.abs(ref - got.astype(np.int32))
+        assert diff.max() <= 2, (p, diff.max())
+        assert diff.mean() < 0.5, (p, diff.mean())
+
+
+def test_fast_mode_close(jpegs):
+    paths, _ = jpegs
+    big = paths[4]  # 1000x700 — prescale kicks in
+    ref = load_image_uint8(big, 224).astype(np.float64)
+    got = decode_one(big, 224, fast=True).astype(np.float64)
+    assert np.abs(ref - got).mean() < 4.0  # prescale is approximate
+
+
+def test_decode_batch_with_failures(jpegs):
+    paths, png = jpegs
+    batch_paths = [paths[0], png, paths[1], "/nonexistent.jpg"]
+    out, status = decode_batch(batch_paths, 128, n_threads=4)
+    assert out.shape == (4, 128, 128, 3)
+    assert status[0] == 0 and status[2] == 0
+    assert status[1] != 0 and status[3] != 0  # png + missing fail over
+
+
+def test_pipeline_uses_native_with_png_fallback(tmp_path, jpegs):
+    """Mixed jpg/png tree: pipeline decodes both (native + PIL fallback)."""
+    paths, png = jpegs
+    import shutil
+    root = tmp_path / "cls"
+    root.mkdir()
+    shutil.copy(paths[0], root / "a.jpg")
+    shutil.copy(png, root / "b.png")
+    from mcm_tpu.data import DataPipeline, ImageFolder
+    ds = ImageFolder(str(tmp_path))
+    pipe = DataPipeline(ds, batch_size=2, image_size=64)
+    assert pipe.use_native
+    batches = list(pipe)
+    assert len(batches) == 1 and batches[0].valid == 2
+    assert batches[0].images.shape == (2, 64, 64, 3)
