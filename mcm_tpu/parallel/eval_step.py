@@ -53,10 +53,14 @@ class EvalStep:
         self.score_name = score
         self.T = float(T)
         self.mesh = mesh if mesh is not None else meshlib.make_mesh(1)
-        # Pallas kernels are opaque to the SPMD partitioner — use them on a
-        # single-device mesh; multi-device meshes run the XLA path (a
-        # shard_map'd pallas path is a planned optimization).
-        if self.mesh.size > 1 and precision.attn_impl == "auto":
+        # Pallas kernels are opaque to the SPMD partitioner.  Pure-DP meshes
+        # run the per-device program under shard_map (kernels apply on each
+        # device's batch shard — no cross-device communication in eval).
+        # TP meshes (model axis > 1) need the partitioner to split the layer
+        # matmuls, so they use the XLA attention path.
+        self._dp_only = self.mesh.shape[meshlib.MODEL_AXIS] == 1
+        if (self.mesh.size > 1 and not self._dp_only
+                and precision.attn_impl == "auto"):
             import dataclasses
             precision = dataclasses.replace(precision, attn_impl="xla")
         self.precision = precision
@@ -65,7 +69,7 @@ class EvalStep:
         repl = meshlib.replicated(self.mesh)
         param_sh = meshlib.param_shardings(self.mesh)
 
-        use_fused_score = self.mesh.size == 1
+        use_fused_score = self._dp_only
 
         def score_fn(params, images_u8, text_feats):
             feats = _encode_pixels(params, cfg, images_u8, self.precision)
@@ -78,7 +82,18 @@ class EvalStep:
 
         def features_fn(params, images_u8):
             return _encode_pixels(params, cfg, images_u8,
-                                  precision).astype(jnp.float32)
+                                  self.precision).astype(jnp.float32)
+
+        if self._dp_only and self.mesh.size > 1:
+            # per-device program over batch shards; params/text replicated
+            score_fn = jax.shard_map(
+                score_fn, mesh=self.mesh,
+                in_specs=(P(), P(meshlib.DATA_AXIS), P()),
+                out_specs=P(meshlib.DATA_AXIS))
+            features_fn = jax.shard_map(
+                features_fn, mesh=self.mesh,
+                in_specs=(P(), P(meshlib.DATA_AXIS)),
+                out_specs=P(meshlib.DATA_AXIS))
 
         self._score = jax.jit(
             score_fn,
