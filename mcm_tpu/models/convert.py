@@ -164,6 +164,19 @@ def load_params(path: str) -> Params:
         return _unflatten({k: z[k] for k in z.files})
 
 
+def save_params_orbax(params: Params, path: str) -> None:
+    """Orbax checkpoint (sharding-aware; use for sharded/multi-host saves)."""
+    import orbax.checkpoint as ocp
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), params)
+
+
+def load_params_orbax(path: str) -> Params:
+    import orbax.checkpoint as ocp
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path))
+
+
 # ---------------------------------------------------------------------------
 # High-level resolver
 # ---------------------------------------------------------------------------

@@ -104,7 +104,12 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     ``impl``: "pallas" | "xla" | None (auto: pallas on TPU when unmasked).
     """
     if impl is None:
-        impl = "pallas" if (mask is None and _on_tpu()) else "xla"
+        # Measured on v5e (B=512, H=12, S=197): XLA's own attention fusion
+        # beats this kernel's current tiling (2619 vs 1928 img/s end to end)
+        # — the per-(batch·head, q-tile) grid re-streams K/V from HBM with
+        # no cross-program pipelining.  Default to XLA; the kernel remains
+        # opt-in (attn_impl="pallas") while its scheduling improves.
+        impl = "xla"
     if impl == "pallas" and mask is None:
         return _pallas_attention(q, k, v)
     return _xla_attention(q, k, v, mask, precision)
