@@ -84,6 +84,8 @@ def process_args():
                         help="dir with converted .npz or HF snapshot")
     parser.add_argument("--allow_random_weights", action="store_true",
                         help="smoke/throughput runs without checkpoints")
+    parser.add_argument("--trace_dir", default=None, type=str,
+                        help="write a JAX profiler trace of the ID pass")
     parser.add_argument("--out_datasets", default=None, type=str, nargs="+",
                         help="override the default OOD set list")
     return parser.parse_args()
@@ -119,6 +121,7 @@ def main():
         ckpt_dir=args.ckpt_dir,
         allow_random_weights=args.allow_random_weights,
         out_datasets=args.out_datasets,
+        trace_dir=args.trace_dir,
     )
     os.makedirs(cfg.log_directory, exist_ok=True)
     run_eval(cfg)

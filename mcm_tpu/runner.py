@@ -73,6 +73,7 @@ class RunConfig:
     ckpt_dir: Optional[str] = None
     allow_random_weights: bool = False      # tests/smoke only
     image_size: int = 224
+    trace_dir: Optional[str] = None         # JAX profiler trace output
     out_datasets: Optional[List[str]] = None
 
     @property
@@ -295,7 +296,9 @@ def run_eval(cfg: RunConfig) -> Dict[str, Dict[str, float]]:
         save_scores(cfg.log_directory, ds_name, s)
         return s
 
-    in_score = scores_for(val_ds, f"ID_{cfg.in_dataset}", True)
+    from mcm_tpu.utils.telemetry import maybe_profile
+    with maybe_profile(cfg.trace_dir):
+        in_score = scores_for(val_ds, f"ID_{cfg.in_dataset}", True)
 
     auroc_list: List[float] = []
     aupr_list: List[float] = []

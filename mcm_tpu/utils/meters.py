@@ -49,6 +49,17 @@ def read_file(file_path: str, root: str = "corpus") -> List[str]:
     return corpus
 
 
+def calculate_cosine_similarity(image_features: np.ndarray,
+                                text_features: np.ndarray) -> np.ndarray:
+    """[C, B] cosine-similarity matrix (reference ``common.py:114-118``:
+    normalize both, ``text @ image.T``)."""
+    img = image_features / np.linalg.norm(image_features, axis=-1,
+                                          keepdims=True)
+    txt = text_features / np.linalg.norm(text_features, axis=-1,
+                                         keepdims=True)
+    return txt @ img.T
+
+
 def zero_shot_accuracy(image_feats: np.ndarray, text_feats: np.ndarray,
                        labels: np.ndarray,
                        topk: Sequence[int] = (1,)) -> List[float]:

@@ -30,3 +30,20 @@ def plot_distribution(log_directory: str, score: str, out_dataset: str,
     plt.savefig(path, bbox_inches="tight")
     plt.close("all")
     return path
+
+
+def show_values_on_bars(axs) -> None:
+    """Annotate bar plots with their heights (reference
+    ``plot_util.py:17-28``)."""
+    def _show_on_single_plot(ax):
+        for p in ax.patches:
+            x = p.get_x() + p.get_width() / 2
+            y = p.get_y() + p.get_height()
+            ax.text(x, y, "{:.2f}".format(p.get_height()), ha="center",
+                    fontsize=9)
+
+    if isinstance(axs, np.ndarray):
+        for _, ax in np.ndenumerate(axs):
+            _show_on_single_plot(ax)
+    else:
+        _show_on_single_plot(axs)
