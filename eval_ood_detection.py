@@ -86,6 +86,8 @@ def process_args():
                         help="smoke/throughput runs without checkpoints")
     parser.add_argument("--trace_dir", default=None, type=str,
                         help="write a JAX profiler trace of the ID pass")
+    parser.add_argument("--eval_accuracy", action="store_true",
+                        help="also log ID zero-shot top-1/top-5 accuracy")
     parser.add_argument("--out_datasets", default=None, type=str, nargs="+",
                         help="override the default OOD set list")
     return parser.parse_args()
@@ -122,6 +124,7 @@ def main():
         allow_random_weights=args.allow_random_weights,
         out_datasets=args.out_datasets,
         trace_dir=args.trace_dir,
+        eval_accuracy=args.eval_accuracy,
     )
     os.makedirs(cfg.log_directory, exist_ok=True)
     run_eval(cfg)

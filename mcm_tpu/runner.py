@@ -74,6 +74,7 @@ class RunConfig:
     allow_random_weights: bool = False      # tests/smoke only
     image_size: int = 224
     trace_dir: Optional[str] = None         # JAX profiler trace output
+    eval_accuracy: bool = False             # log ID zero-shot top-1/top-5
     out_datasets: Optional[List[str]] = None
 
     @property
@@ -299,6 +300,13 @@ def run_eval(cfg: RunConfig) -> Dict[str, Dict[str, float]]:
     from mcm_tpu.utils.telemetry import maybe_profile
     with maybe_profile(cfg.trace_dir):
         in_score = scores_for(val_ds, f"ID_{cfg.in_dataset}", True)
+
+    if cfg.eval_accuracy and text_feats is not None:
+        from mcm_tpu.utils.meters import zero_shot_accuracy
+        feats, labels = extract_features(step, params, val_ds, cfg)
+        top1, top5 = zero_shot_accuracy(feats, np.asarray(text_feats),
+                                        labels, topk=(1, 5))
+        log.debug(f"ID zero-shot accuracy: top1 {top1:.2f}% top5 {top5:.2f}%")
 
     auroc_list: List[float] = []
     aupr_list: List[float] = []
