@@ -1,0 +1,78 @@
+"""Runner integration: streamed scores == direct per-image computation."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mcm_tpu.config import CLIPConfig, Precision, TextConfig, VisionConfig
+from mcm_tpu.data import DataPipeline, ImageFolder
+from mcm_tpu.data.transforms import load_image_uint8, normalize_on_device
+from mcm_tpu.models import clip as jclip
+from mcm_tpu.models.init import init_clip
+from mcm_tpu.parallel import EvalStep, make_mesh
+from mcm_tpu.runner import RunConfig, score_dataset
+from mcm_tpu.scores import compute_scores, l2_normalize
+from util_synth import make_imagefolder_tree
+
+TINY = CLIPConfig(
+    name="tiny",
+    vision=VisionConfig(image_size=32, patch_size=8, width=64, layers=2,
+                        heads=4, projection_dim=32),
+    text=TextConfig(vocab_size=128, context_length=16, width=64, layers=2,
+                    heads=4, projection_dim=32),
+)
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("runner")
+    root = make_imagefolder_tree(str(tmp), ["a", "b", "c"], 4)  # 12 images
+    ds = ImageFolder(root)
+    params = init_clip(jax.random.key(0), TINY)
+    step = EvalStep(TINY, score="MCM", precision=Precision.parity(),
+                    mesh=make_mesh(1))
+    dev_params = step.put_params(params)
+    rng = np.random.default_rng(0)
+    text = rng.standard_normal((5, 32)).astype(np.float32)
+    text = np.asarray(l2_normalize(jnp.asarray(text)))
+    return ds, params, dev_params, step, text
+
+
+def test_streamed_scores_match_direct(setup):
+    """score_dataset (batched, padded tail, async readback) must equal a
+    naive per-image loop — the reference's concat+truncate semantics."""
+    ds, params, dev_params, step, text = setup
+    cfg = RunConfig(batch_size=5, image_size=32, num_workers=2,
+                    precision="parity")
+    streamed = score_dataset(step, dev_params, ds, step.put_replicated(text),
+                            cfg)
+
+    # naive: one image at a time through the plain model path
+    direct = []
+    for path, _ in ds.samples:
+        u8 = load_image_uint8(path, 32)[None]
+        x = normalize_on_device(jnp.asarray(u8))
+        feats = jclip.encode_image(params, TINY.vision, x,
+                                   Precision.parity())
+        direct.append(float(compute_scores(feats, jnp.asarray(text),
+                                           score="MCM")[0]))
+    assert streamed.shape == (12,)
+    np.testing.assert_allclose(streamed, direct, rtol=1e-4, atol=1e-5)
+
+
+def test_streamed_scores_deterministic(setup):
+    ds, params, dev_params, step, text = setup
+    cfg = RunConfig(batch_size=4, image_size=32, num_workers=2)
+    a = score_dataset(step, dev_params, ds, step.put_replicated(text), cfg)
+    b = score_dataset(step, dev_params, ds, step.put_replicated(text), cfg)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_drop_remainder_truncates(setup):
+    ds, params, dev_params, step, text = setup
+    cfg = RunConfig(batch_size=5, image_size=32, num_workers=2)
+    s = score_dataset(step, dev_params, ds, step.put_replicated(text), cfg,
+                      drop_remainder=True)
+    assert s.shape == (10,)  # 12 images, batch 5 → 2 full batches
