@@ -88,6 +88,8 @@ def process_args():
                         help="write a JAX profiler trace of the ID pass")
     parser.add_argument("--eval_accuracy", action="store_true",
                         help="also log ID zero-shot top-1/top-5 accuracy")
+    parser.add_argument("--fast_decode", action="store_true",
+                        help="DCT-prescaled JPEG decode (throughput mode)")
     parser.add_argument("--out_datasets", default=None, type=str, nargs="+",
                         help="override the default OOD set list")
     return parser.parse_args()
@@ -125,6 +127,7 @@ def main():
         out_datasets=args.out_datasets,
         trace_dir=args.trace_dir,
         eval_accuracy=args.eval_accuracy,
+        fast_decode=args.fast_decode,
     )
     os.makedirs(cfg.log_directory, exist_ok=True)
     run_eval(cfg)

@@ -75,6 +75,7 @@ class RunConfig:
     image_size: int = 224
     trace_dir: Optional[str] = None         # JAX profiler trace output
     eval_accuracy: bool = False             # log ID zero-shot top-1/top-5
+    fast_decode: bool = False               # DCT-prescaled native decode
     out_datasets: Optional[List[str]] = None
 
     @property
@@ -180,7 +181,8 @@ def score_dataset(step: EvalStep, params, dataset, text_feats,
     tel = telemetry or Telemetry()
     pipe = DataPipeline(dataset, cfg.batch_size, image_size=cfg.image_size,
                         num_workers=cfg.num_workers, prefetch=cfg.prefetch,
-                        drop_remainder=drop_remainder)
+                        drop_remainder=drop_remainder,
+                        fast_decode=cfg.fast_decode)
     pending: List = []   # (device_scores, valid)
     outs: List[np.ndarray] = []
     valids: List[int] = []
@@ -249,7 +251,7 @@ def maha_score_dataset(step: EvalStep, params, dataset, mu, prec,
     drop = not in_dist
     pipe = DataPipeline(dataset, cfg.batch_size, image_size=cfg.image_size,
                         num_workers=cfg.num_workers, prefetch=cfg.prefetch,
-                        drop_remainder=drop)
+                        drop_remainder=drop, fast_decode=cfg.fast_decode)
     outs, valids = [], []
     for batch in pipe:
         f = step.features(params, step.put_batch(batch.images))
