@@ -90,6 +90,8 @@ def process_args():
                         help="also log ID zero-shot top-1/top-5 accuracy")
     parser.add_argument("--fast_decode", action="store_true",
                         help="DCT-prescaled JPEG decode (throughput mode)")
+    parser.add_argument("--finetune_ckpt", default=None, type=str,
+                        help="fine-tuned .npz weights for --model CLIP-Linear")
     parser.add_argument("--out_datasets", default=None, type=str, nargs="+",
                         help="override the default OOD set list")
     return parser.parse_args()
@@ -128,6 +130,7 @@ def main():
         trace_dir=args.trace_dir,
         eval_accuracy=args.eval_accuracy,
         fast_decode=args.fast_decode,
+        finetune_ckpt=args.finetune_ckpt,
     )
     os.makedirs(cfg.log_directory, exist_ok=True)
     run_eval(cfg)

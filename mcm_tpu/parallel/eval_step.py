@@ -150,14 +150,27 @@ class EvalStep:
         """Encode + L2-normalize all class prompts, replicated on the mesh.
 
         Runs once per ID dataset (the reference re-encodes every batch,
-        ``detection_util.py:228-231`` — pure waste, identical output)."""
+        ``detection_util.py:228-231`` — pure waste, identical output).
+        Jitted per (batch, seq) shape; the tail batch is padded to the lead
+        batch shape so at most two executables compile."""
+
+        @functools.partial(jax.jit, static_argnames=())
+        def _enc(params, ids, mask):
+            f = jclip.encode_text(params, self.cfg.text, ids, mask,
+                                  self.precision)
+            return l2_normalize(f).astype(jnp.float32)
+
         outs = []
         n = input_ids.shape[0]
         for lo in range(0, n, batch_size):
-            ids = jnp.asarray(input_ids[lo:lo + batch_size])
-            mask = jnp.asarray(attention_mask[lo:lo + batch_size])
-            f = jclip.encode_text(params, self.cfg.text, ids, mask,
-                                  self.precision)
-            outs.append(l2_normalize(f).astype(jnp.float32))
+            ids = input_ids[lo:lo + batch_size]
+            mask = attention_mask[lo:lo + batch_size]
+            pad = 0
+            if lo > 0 and ids.shape[0] < batch_size:
+                pad = batch_size - ids.shape[0]
+                ids = np.pad(ids, ((0, pad), (0, 0)))
+                mask = np.pad(mask, ((0, pad), (0, 0)))
+            f = _enc(params, jnp.asarray(ids), jnp.asarray(mask))
+            outs.append(f[:f.shape[0] - pad] if pad else f)
         text = jnp.concatenate(outs, axis=0)
         return self.put_replicated(text)

@@ -76,6 +76,9 @@ class RunConfig:
     trace_dir: Optional[str] = None         # JAX profiler trace output
     eval_accuracy: bool = False             # log ID zero-shot top-1/top-5
     fast_decode: bool = False               # DCT-prescaled native decode
+    #: fine-tuned checkpoint (.npz pytree) replacing the pretrained weights
+    #: when --model CLIP-Linear (reference train_eval_util.py:24-25)
+    finetune_ckpt: Optional[str] = None
     out_datasets: Optional[List[str]] = None
 
     @property
@@ -128,6 +131,11 @@ def build_model_and_step(cfg: RunConfig, log=None):
     precision = resolve_precision(cfg.precision)
 
     params = resolve_clip_params(cfg.clip_ckpt, cfg.ckpt_dir)
+    if cfg.model == "CLIP-Linear":
+        if not cfg.finetune_ckpt:
+            raise ValueError("--model CLIP-Linear requires --finetune_ckpt")
+        from mcm_tpu.models.convert import load_params
+        params = load_params(cfg.finetune_ckpt)
     if params is None:
         if not cfg.allow_random_weights:
             raise FileNotFoundError(

@@ -52,10 +52,25 @@ class Telemetry:
 
 @contextlib.contextmanager
 def maybe_profile(trace_dir: Optional[str]):
-    """JAX profiler trace when a directory is given."""
+    """JAX profiler trace when a directory is given (best-effort: some
+    development backends don't support tracing — warn, don't fail)."""
     if not trace_dir:
         yield
         return
+    import warnings
+
     import jax
-    with jax.profiler.trace(trace_dir):
+    try:
+        ctx = jax.profiler.trace(trace_dir)
+        ctx.__enter__()
+    except Exception as e:  # noqa: BLE001 — profiler must never kill a run
+        warnings.warn(f"profiler unavailable ({e}); continuing untraced")
         yield
+        return
+    try:
+        yield
+    finally:
+        try:
+            ctx.__exit__(None, None, None)
+        except Exception as e:  # noqa: BLE001
+            warnings.warn(f"profiler teardown failed ({e})")
