@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Real-checkpoint numerical parity harness.
+
+Two modes, sharing a golden-file format:
+
+* ``record`` — run the HF/PyTorch reference model (CPU) on deterministic
+  probe inputs and write goldens (image features, text features, MCM scores)
+  to an .npz.  Run this wherever torch + the checkpoint are available.
+* ``check``  — run OUR JAX model on the same probe inputs and compare
+  against the goldens (the ≤0.1%-AUROC north star starts with feature-level
+  agreement; this reports max/mean feature error and score error).
+
+Probe inputs are seeded synthetic pixels/token-ids, so no dataset is needed
+— this isolates MODEL parity from PREPROCESSING parity (the latter is
+covered by tests/test_ops.py and tests/test_native.py against PIL).
+
+Usage:
+  python tools/parity_check.py record --ckpt ViT-B/16 --hf-dir <snapshot> \
+      --out goldens_b16.npz
+  python tools/parity_check.py check --ckpt ViT-B/16 --goldens goldens_b16.npz \
+      [--ckpt-dir checkpoints] [--precision parity]
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def probe_inputs(seed: int = 0, batch: int = 8, n_prompts: int = 16,
+                 image_size: int = 224, context: int = 77,
+                 vocab_size: int = 49408):
+    rng = np.random.default_rng(seed)
+    pixels = rng.standard_normal((batch, 3, image_size,
+                                  image_size)).astype(np.float32)
+    ids = rng.integers(1, vocab_size - 2,
+                       size=(n_prompts, context)).astype(np.int64)
+    lengths = rng.integers(5, context, size=n_prompts)
+    mask = np.zeros_like(ids)
+    ids[:, 0] = vocab_size - 2          # BOS
+    for r, L in enumerate(lengths):
+        ids[r, L - 1] = vocab_size - 1  # EOT (largest id)
+        ids[r, L:] = vocab_size - 1     # pad-with-EOT (HF convention)
+        mask[r, :L] = 1
+    return pixels, ids, mask
+
+
+def record(args):
+    import torch
+    import transformers
+
+    model = transformers.CLIPModel.from_pretrained(args.hf_dir)
+    model.eval()
+    pixels, ids, mask = probe_inputs()
+    with torch.no_grad():
+        img = model.get_image_features(
+            pixel_values=torch.from_numpy(pixels)).numpy()
+        txt = model.get_text_features(
+            input_ids=torch.from_numpy(ids),
+            attention_mask=torch.from_numpy(mask)).numpy()
+    imgn = img / np.linalg.norm(img, axis=-1, keepdims=True)
+    txtn = txt / np.linalg.norm(txt, axis=-1, keepdims=True)
+    logits = imgn @ txtn.T
+    e = np.exp(logits - logits.max(1, keepdims=True))
+    mcm = -(e / e.sum(1, keepdims=True)).max(1)
+    np.savez(args.out, image_features=img, text_features=txt, mcm=mcm,
+             ckpt=args.ckpt)
+    print(f"recorded goldens for {args.ckpt} -> {args.out}")
+
+
+def check(args):
+    import jax.numpy as jnp
+
+    from mcm_tpu.config import CLIP_CONFIGS, resolve_precision
+    from mcm_tpu.models import clip as jclip
+    from mcm_tpu.models.convert import resolve_clip_params
+    from mcm_tpu.scores import compute_scores, l2_normalize
+
+    gold = np.load(args.goldens, allow_pickle=True)
+    cfg = CLIP_CONFIGS[args.ckpt]()
+    params = resolve_clip_params(args.ckpt, args.ckpt_dir)
+    if params is None:
+        sys.exit(f"no weights for {args.ckpt} under "
+                 f"{args.ckpt_dir or 'checkpoints'}")
+    precision = resolve_precision(args.precision)
+
+    pixels, ids, mask = probe_inputs()
+    img = np.asarray(jclip.encode_image(params, cfg.vision,
+                                        jnp.asarray(pixels), precision),
+                     dtype=np.float32)
+    txt = np.asarray(jclip.encode_text(params, cfg.text,
+                                       jnp.asarray(ids, jnp.int32),
+                                       jnp.asarray(mask, jnp.int32),
+                                       precision), dtype=np.float32)
+    mcm = np.asarray(compute_scores(jnp.asarray(img),
+                                    l2_normalize(jnp.asarray(txt)),
+                                    score="MCM"))
+
+    def report(name, ours, ref):
+        err = np.abs(ours - ref)
+        rel = err.max() / (np.abs(ref).max() + 1e-12)
+        print(f"{name:>16}: max abs {err.max():.3e}  mean abs "
+              f"{err.mean():.3e}  max rel {rel:.3e}")
+        return rel
+
+    r1 = report("image features", img, gold["image_features"])
+    r2 = report("text features", txt, gold["text_features"])
+    r3 = report("MCM scores", mcm, gold["mcm"])
+    tol = 1e-3 if args.precision in ("parity", "fp32") else 3e-2
+    ok = max(r1, r2, r3) < tol
+    print("PARITY:", "PASS" if ok else "FAIL", f"(tol {tol})")
+    sys.exit(0 if ok else 1)
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="mode", required=True)
+    pr = sub.add_parser("record")
+    pr.add_argument("--ckpt", default="ViT-B/16",
+                    choices=["ViT-B/32", "ViT-B/16", "ViT-L/14"])
+    pr.add_argument("--hf-dir", required=True)
+    pr.add_argument("--out", required=True)
+    pc = sub.add_parser("check")
+    pc.add_argument("--ckpt", default="ViT-B/16",
+                    choices=["ViT-B/32", "ViT-B/16", "ViT-L/14"])
+    pc.add_argument("--goldens", required=True)
+    pc.add_argument("--ckpt-dir", default=None)
+    pc.add_argument("--precision", default="parity")
+    args = p.parse_args()
+    record(args) if args.mode == "record" else check(args)
+
+
+if __name__ == "__main__":
+    main()
