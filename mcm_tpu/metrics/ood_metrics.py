@@ -23,7 +23,7 @@ batch (SURVEY.md §2.3 item 5).
 
 from __future__ import annotations
 
-from typing import Iterable, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -14,7 +14,7 @@ patchify-as-matmul, fp32 LN/softmax, bf16 matmul fast path.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -15,12 +15,12 @@ Works identically on 1 device (trivial mesh) and N (pjit/SPMD).
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from mcm_tpu.config import CLIPConfig, Precision
 from mcm_tpu.data.transforms import CLIP_MEAN, CLIP_STD, normalize_on_device

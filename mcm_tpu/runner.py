@@ -24,10 +24,10 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from mcm_tpu.config import CLIP_CONFIGS, Precision, resolve_precision
+from mcm_tpu.config import CLIP_CONFIGS, resolve_precision
 from mcm_tpu.data import (DataPipeline, collect_scores, default_out_datasets,
                           get_test_labels, set_ood_loader, set_train_loader,
-                          set_val_loader, subset_per_class)
+                          set_val_loader)
 from mcm_tpu.metrics import get_measures, print_measures
 from mcm_tpu.models.convert import resolve_clip_params
 from mcm_tpu.models.init import init_clip

@@ -14,7 +14,6 @@ callers normalize first, perturb, then score.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

@@ -15,7 +15,6 @@ this module supplies the step that *produces* such checkpoints, TPU-native:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax

@@ -4,7 +4,7 @@ top-k accuracy, running-average meter, corpus file reader."""
 from __future__ import annotations
 
 import os
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import numpy as np
 

@@ -11,7 +11,7 @@ the resume mechanism: a crashed multi-OOD sweep restarts per OOD set)."""
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
