@@ -163,3 +163,24 @@ def test_multihost_helpers_single_process():
     batch = np.zeros((16, 4, 4, 3), np.uint8)
     arr = make_global_batch(mesh, batch)
     assert arr.shape == (16, 4, 4, 3)
+
+
+def test_imagenet100_cli(tmp_path):
+    """ImageNet100 label path: class_list wnids → index names, '_'→' '."""
+    from mcm_tpu.data.labels import subset_wnids
+    root = tmp_path / "datasets"
+    wnids = subset_wnids("ImageNet100")[:100]
+    # tiny tree: only 6 of the 100 classes materialized is NOT valid for
+    # the ordering contract — materialize all 100 with 1 image each
+    make_imagefolder_tree(str(root / "ImageNet100" / "val"), wnids, 1)
+    make_imagefolder_tree(str(root / "ImageNet_OOD_dataset" / "dtd" /
+                              "images"), ["banded"], 4, color_bias=40)
+    proc = _run("eval_ood_detection.py", [
+        "--in_dataset", "ImageNet100", "--root-dir", str(root),
+        "--score", "MCM", "--name", "in100", "-b", "16",
+        "--out_datasets", "dtd", "--allow_random_weights",
+        "--num_workers", "2"], cwd=str(tmp_path))
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    csv = (tmp_path / "results" / "ImageNet100" / "MCM" /
+           "CLIP_ViT-B/16_T_1_ID_in100" / "in100.csv")
+    assert csv.exists()
