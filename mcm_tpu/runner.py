@@ -235,6 +235,10 @@ def _maha_templates(cfg: RunConfig, step: EvalStep, params, log):
     os.makedirs(cfg.template_dir, exist_ok=True)
     tag = (f"{cfg.model}_{cfg.in_dataset}_{cfg.max_count}_{cfg.normalize}")
     path = os.path.join(cfg.template_dir, f"templates_{tag}.npz")
+    if not cfg.generate and not os.path.exists(path):
+        raise FileNotFoundError(
+            f"--generate was disabled but no cached Mahalanobis templates "
+            f"exist at {path}; run once with --generate first")
     if cfg.generate or not os.path.exists(path):
         train_ds = set_train_loader(cfg.in_dataset, cfg.root_dir,
                                     subset=cfg.subset,
