@@ -47,7 +47,10 @@ def download_and_extract(url: str, root: str, md5: Optional[str] = None,
     dest = extract_root or root
     if fname.endswith((".tar.gz", ".tgz", ".tar")):
         with tarfile.open(fname) as tar:
-            tar.extractall(dest, filter="data")
+            try:
+                tar.extractall(dest, filter="data")
+            except TypeError:  # Python < 3.10.12 lacks the filter kwarg
+                tar.extractall(dest)  # noqa: S202 — md5-verified archive
     elif fname.endswith(".zip"):
         with zipfile.ZipFile(fname) as zf:
             zf.extractall(dest)

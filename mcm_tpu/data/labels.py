@@ -117,6 +117,22 @@ def get_num_cls(in_dataset: str) -> int:
     return NUM_CLASSES[in_dataset]
 
 
+def prompt_permutation(in_dataset: str):
+    """Map label index → prompt row, or None when they already coincide.
+
+    ImageFolder assigns labels in sorted-wnid order, but the ImageNet100
+    prompt list follows the class_list file order (reference
+    ``common.py:60-73``) — load-bearing only for classification-style
+    diagnostics; OOD scores are max-over-classes and order-invariant.
+    """
+    if in_dataset != "ImageNet100":
+        return None
+    import numpy as np
+    file_order = subset_wnids("imagenet100")
+    row_of_wnid = {w: i for i, w in enumerate(file_order)}
+    return np.asarray([row_of_wnid[w] for w in sorted(file_order)])
+
+
 def get_test_labels(in_dataset: str, dataset=None) -> Sequence[str]:
     """Prompt-ready class names for an ID dataset
     (reference ``common.py:16-27``)."""

@@ -97,7 +97,8 @@ def auroc_score(y_true: np.ndarray, y_score: np.ndarray) -> float:
         return float("nan")
     fpr = fps / fps[-1]
     tpr = tps / tps[-1]
-    return float(np.trapezoid(tpr, fpr))
+    trapezoid = getattr(np, "trapezoid", None) or np.trapz  # numpy<2 compat
+    return float(trapezoid(tpr, fpr))
 
 
 def aupr_score(y_true: np.ndarray, y_score: np.ndarray) -> float:

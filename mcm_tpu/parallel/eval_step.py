@@ -112,6 +112,14 @@ class EvalStep:
             in_shardings=(batch_sh, repl, repl),
             out_shardings=batch_sh)
 
+        def _text_fn(params, ids, mask):
+            f = jclip.encode_text(params, cfg.text, ids, mask,
+                                  self.precision)
+            return l2_normalize(f).astype(jnp.float32)
+
+        # one jitted text encoder per EvalStep (not per encode_text call)
+        self._encode_text_jit = jax.jit(_text_fn)
+
         self.batch_sharding = batch_sh
         self.replicated = repl
         self.param_shardings = param_sh
@@ -152,14 +160,8 @@ class EvalStep:
         Runs once per ID dataset (the reference re-encodes every batch,
         ``detection_util.py:228-231`` — pure waste, identical output).
         Jitted per (batch, seq) shape; the tail batch is padded to the lead
-        batch shape so at most two executables compile."""
-
-        @functools.partial(jax.jit, static_argnames=())
-        def _enc(params, ids, mask):
-            f = jclip.encode_text(params, self.cfg.text, ids, mask,
-                                  self.precision)
-            return l2_normalize(f).astype(jnp.float32)
-
+        batch shape so at most two executables compile per shape."""
+        _enc = self._encode_text_jit
         outs = []
         n = input_ids.shape[0]
         for lo in range(0, n, batch_size):

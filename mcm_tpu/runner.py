@@ -130,12 +130,13 @@ def build_model_and_step(cfg: RunConfig, log=None):
     clip_cfg = CLIP_CONFIGS[cfg.clip_ckpt]()
     precision = resolve_precision(cfg.precision)
 
-    params = resolve_clip_params(cfg.clip_ckpt, cfg.ckpt_dir)
     if cfg.model == "CLIP-Linear":
         if not cfg.finetune_ckpt:
             raise ValueError("--model CLIP-Linear requires --finetune_ckpt")
         from mcm_tpu.models.convert import load_params
         params = load_params(cfg.finetune_ckpt)
+    else:
+        params = resolve_clip_params(cfg.clip_ckpt, cfg.ckpt_dir)
     if params is None:
         if not cfg.allow_random_weights:
             raise FileNotFoundError(
@@ -312,15 +313,27 @@ def run_eval(cfg: RunConfig) -> Dict[str, Dict[str, float]]:
         return s
 
     from mcm_tpu.utils.telemetry import maybe_profile
-    with maybe_profile(cfg.trace_dir):
-        in_score = scores_for(val_ds, f"ID_{cfg.in_dataset}", True)
-
-    if cfg.eval_accuracy and text_feats is not None:
+    if cfg.eval_accuracy and cfg.score != "maha":
+        # single ID pass: extract features once, derive both the OOD scores
+        # and the zero-shot accuracy from them (no second encode epoch)
+        from mcm_tpu.data.labels import prompt_permutation
+        from mcm_tpu.scores import compute_scores
         from mcm_tpu.utils.meters import zero_shot_accuracy
-        feats, labels = extract_features(step, params, val_ds, cfg)
+        with maybe_profile(cfg.trace_dir):
+            feats, labels = extract_features(step, params, val_ds, cfg)
+        in_score = np.asarray(compute_scores(feats, np.asarray(text_feats),
+                                             score=cfg.score, T=cfg.T))
+        save_scores(cfg.log_directory, f"ID_{cfg.in_dataset}", in_score)
+        # align label indices with prompt rows (ImageNet100 prompts follow
+        # class_list order, not the sorted-wnid label order)
+        perm = prompt_permutation(cfg.in_dataset)
+        mapped = perm[labels] if perm is not None else labels
         top1, top5 = zero_shot_accuracy(feats, np.asarray(text_feats),
-                                        labels, topk=(1, 5))
+                                        mapped, topk=(1, 5))
         log.debug(f"ID zero-shot accuracy: top1 {top1:.2f}% top5 {top5:.2f}%")
+    else:
+        with maybe_profile(cfg.trace_dir):
+            in_score = scores_for(val_ds, f"ID_{cfg.in_dataset}", True)
 
     auroc_list: List[float] = []
     aupr_list: List[float] = []

@@ -190,7 +190,11 @@ class CLIPTokenizer:
         """
         rows = [[self.bos_id] + self.encode(t) + [self.eos_id] for t in texts]
         if context_length is not None:
-            rows = [r[:context_length] for r in rows]
+            # truncate but keep EOS last (HF behavior) — the text tower
+            # pools at argmax(ids), which must find the EOT token
+            rows = [r if len(r) <= context_length
+                    else r[:context_length - 1] + [self.eos_id]
+                    for r in rows]
             width = context_length
         else:
             width = max(len(r) for r in rows)

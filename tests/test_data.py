@@ -237,3 +237,15 @@ def test_against_reference_label_functions():
         assert ref.obtain_ImageNet100_classes() == imagenet100_classes()
     finally:
         os.chdir(cwd)
+
+
+def test_imagenet100_prompt_permutation():
+    from mcm_tpu.data.labels import prompt_permutation, subset_wnids
+    perm = prompt_permutation("ImageNet100")
+    assert perm is not None and perm.shape == (100,)
+    file_order = subset_wnids("imagenet100")
+    wnids_sorted = sorted(file_order)
+    # label i (sorted order) must point at the prompt row of the same wnid
+    for label in (0, 13, 99):
+        assert file_order[perm[label]] == wnids_sorted[label]
+    assert prompt_permutation("ImageNet") is None

@@ -97,3 +97,9 @@ def test_eot_is_argmax_position(ours):
     eot_pos = np.argmax(ids, axis=1)
     assert eot_pos[0] < eot_pos[1]
     assert ids[0, eot_pos[0]] == ours.eos_id
+
+
+def test_truncation_keeps_eos(ours):
+    ids, mask = ours(["cat " * 100], context_length=16)
+    assert ids[0, -1] == ours.eos_id  # EOS survives truncation
+    assert int(np.argmax(ids[0])) == 15  # EOT pooling finds it
