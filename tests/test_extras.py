@@ -184,3 +184,31 @@ def test_imagenet100_cli(tmp_path):
     csv = (tmp_path / "results" / "ImageNet100" / "MCM" /
            "CLIP_ViT-B/16_T_1_ID_in100" / "in100.csv")
     assert csv.exists()
+
+
+def test_imagenet_full_ood_suite_pairing(tmp_path):
+    """ImageNet ID → all four default OOD sets (iNaturalist/SUN/places365/
+    dtd), exercising the pairing rule and every OOD directory layout."""
+    from util_synth import make_imagefolder_tree
+    root = tmp_path / "datasets"
+    # tiny "ImageNet" val tree with 3 wnids (labels need not cover 1000 —
+    # prompts come from the packaged 1000-name list)
+    make_imagefolder_tree(str(root / "ImageNet" / "val"),
+                          ["n01440764", "n01443537", "n01484850"], 2)
+    ood_root = root / "ImageNet_OOD_dataset"
+    make_imagefolder_tree(str(ood_root / "iNaturalist"), ["x"], 3,
+                          color_bias=20)
+    make_imagefolder_tree(str(ood_root / "SUN"), ["y"], 3, color_bias=40)
+    make_imagefolder_tree(str(ood_root / "Places"), ["z"], 3, color_bias=60)
+    make_imagefolder_tree(str(ood_root / "dtd" / "images"), ["w"], 3,
+                          color_bias=80)
+    proc = _run("eval_ood_detection.py", [
+        "--in_dataset", "ImageNet", "--root-dir", str(root),
+        "--score", "energy", "--name", "full", "-b", "4",
+        "--allow_random_weights", "--num_workers", "2"], cwd=str(tmp_path))
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    csv = (tmp_path / "results" / "ImageNet" / "energy" /
+           "CLIP_ViT-B/16_T_1_ID_full" / "full.csv")
+    text = csv.read_text()
+    for name in ("iNaturalist", "SUN", "places365", "dtd", "AVG"):
+        assert name in text
