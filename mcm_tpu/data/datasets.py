@@ -210,10 +210,15 @@ class StanfordCars(_PathLabelDataset):
             ann_path = os.path.join(base, "cars_test_annos_withlabels.mat")
             img_dir = os.path.join(base, "cars_test")
 
-        if download and not os.path.isdir(devkit):
-            for key in ("devkit", split) + (("test_annos",)
-                                            if split == "test" else ()):
-                url, md5 = self._URLS[key]
+        if download:  # each piece gated on its own presence
+            if not os.path.isdir(devkit):
+                url, md5 = self._URLS["devkit"]
+                download_and_extract(url, base, md5)
+            if not os.path.isdir(img_dir):
+                url, md5 = self._URLS[split]
+                download_and_extract(url, base, md5)
+            if split == "test" and not os.path.exists(ann_path):
+                url, md5 = self._URLS["test_annos"]
                 download_and_extract(url, base, md5)
         if not os.path.exists(ann_path):
             raise FileNotFoundError(f"Stanford Cars annotations missing: "

@@ -94,13 +94,6 @@ def _pallas_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return out.reshape(b, h, s, dh)
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform in ("tpu", "axon")
-    except RuntimeError:
-        return False
-
-
 def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     mask: Optional[jax.Array] = None,
                     precision: Precision = Precision.fast(),

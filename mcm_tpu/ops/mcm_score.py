@@ -94,13 +94,6 @@ def _pallas_mcm(image_feats: jax.Array, text_feats: jax.Array,
     return out[:, 0]
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform in ("tpu", "axon")
-    except RuntimeError:
-        return False
-
-
 def fused_mcm_scores(image_feats: jax.Array, text_feats: jax.Array,
                      score: str = "MCM", T: float = 1.0,
                      impl: Optional[str] = None) -> jax.Array:
@@ -109,7 +102,8 @@ def fused_mcm_scores(image_feats: jax.Array, text_feats: jax.Array,
     ``impl``: "pallas" | "xla" | None (auto)."""
     assert score in CLIP_SCORES, score
     if impl is None:
-        impl = "pallas" if _on_tpu() else "xla"
+        from mcm_tpu.ops import on_tpu
+        impl = "pallas" if on_tpu() else "xla"
     if impl == "pallas":
         return _pallas_mcm(image_feats, text_feats, score, float(T))
     return compute_scores(image_feats, text_feats, score=score, T=float(T))

@@ -113,10 +113,14 @@ class _HashTokenizer:
                 h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
                 ids.append(h % (self.vocab_size - 2))
             ids.append(self.eos_id)
-            rows.append(ids[:context_length] if context_length else ids)
+            if context_length and len(ids) > context_length:
+                ids = ids[:context_length - 1] + [self.eos_id]
+            rows.append(ids)
         width = max(len(r) for r in rows)
         if pad_to_multiple:
             width = -(-width // pad_to_multiple) * pad_to_multiple
+        if context_length:
+            width = min(width, context_length)
         out = np.full((len(rows), width), self.pad_id, dtype=np.int32)
         mask = np.zeros_like(out)
         for i, r in enumerate(rows):
@@ -172,7 +176,9 @@ def _encode_prompts(step: EvalStep, params, tokenizer, class_names,
     templates = (OPENAI_IMAGENET_TEMPLATES if ensemble
                  else [DEFAULT_TEMPLATE])
     prompts = build_prompts(class_names, templates)
-    ids, mask = tokenizer(prompts, pad_to_multiple=8)
+    # clamp to the text tower's context window (truncation keeps EOS)
+    ids, mask = tokenizer(prompts, pad_to_multiple=8,
+                          context_length=step.cfg.text.context_length)
     text = step.encode_text(params, ids, mask)          # [T*C, D] normalized
     if ensemble and len(templates) > 1:
         n_t, n_c = len(templates), len(class_names)
@@ -220,21 +226,37 @@ def score_dataset(step: EvalStep, params, dataset, text_feats,
 
 def extract_features(step: EvalStep, params, dataset, cfg: RunConfig
                      ) -> tuple:
-    """All image features + labels for a dataset (Mahalanobis templates)."""
+    """All image features + labels for a dataset (Mahalanobis templates).
+
+    Same one-batch-behind readback pipeline as :func:`score_dataset`."""
     pipe = DataPipeline(dataset, cfg.batch_size, image_size=cfg.image_size,
-                        num_workers=cfg.num_workers, prefetch=cfg.prefetch)
-    feats, labels, valids = [], [], []
+                        num_workers=cfg.num_workers, prefetch=cfg.prefetch,
+                        fast_decode=cfg.fast_decode)
+    pending: List = []
+    feats, labels = [], []
+
+    def drain(limit: int):
+        while len(pending) > limit:
+            dev, valid = pending.pop(0)
+            feats.append(np.asarray(dev)[:valid])
+
     for batch in pipe:
-        f = step.features(params, step.put_batch(batch.images))
-        feats.append(np.asarray(f)[:batch.valid])
+        pending.append((step.features(params, step.put_batch(batch.images)),
+                        batch.valid))
         labels.append(batch.labels[:batch.valid])
+        drain(1)
+    drain(0)
     return np.concatenate(feats), np.concatenate(labels)
 
 
 def _maha_templates(cfg: RunConfig, step: EvalStep, params, log):
     """Estimate or load class means + precision (reference ``main:72-78``)."""
     os.makedirs(cfg.template_dir, exist_ok=True)
-    tag = (f"{cfg.model}_{cfg.in_dataset}_{cfg.max_count}_{cfg.normalize}")
+    # the checkpoint name is part of the tag — the reference's naming
+    # ({model}_..., model='CLIP') lets B/16 and B/32 share 512-d templates
+    ckpt_tag = cfg.clip_ckpt.replace("/", "-")
+    tag = (f"{cfg.model}_{ckpt_tag}_{cfg.in_dataset}_{cfg.max_count}_"
+           f"{cfg.normalize}")
     path = os.path.join(cfg.template_dir, f"templates_{tag}.npz")
     if not cfg.generate and not os.path.exists(path):
         raise FileNotFoundError(
@@ -265,12 +287,19 @@ def maha_score_dataset(step: EvalStep, params, dataset, mu, prec,
     pipe = DataPipeline(dataset, cfg.batch_size, image_size=cfg.image_size,
                         num_workers=cfg.num_workers, prefetch=cfg.prefetch,
                         drop_remainder=drop, fast_decode=cfg.fast_decode)
+    pending: List = []
     outs, valids = [], []
+
+    def drain(limit: int):
+        while len(pending) > limit:
+            outs.append(np.asarray(pending.pop(0)))
+
     for batch in pipe:
         f = step.features(params, step.put_batch(batch.images))
-        s = step.maha(f, mu, prec, normalize=cfg.normalize)
-        outs.append(np.asarray(s))
+        pending.append(step.maha(f, mu, prec, normalize=cfg.normalize))
         valids.append(batch.valid)
+        drain(1)
+    drain(0)
     total = len(pipe) * cfg.batch_size if drop else pipe.num_samples
     return collect_scores(outs, valids, min(total, sum(valids)))
 

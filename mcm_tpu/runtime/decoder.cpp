@@ -143,6 +143,18 @@ inline unsigned char clamp_u8(float v) {
   return static_cast<unsigned char>(r < 0 ? 0 : (r > 255 ? 255 : r));
 }
 
+// Python round() (banker's: ties to even) for the crop offset — torchvision
+// computes int(round((dim - size) / 2.0)); std::lround rounds .5 away from
+// zero and shifts the crop window one pixel on ~1/4 of non-square images.
+inline long python_round_half(double v) {
+  const double f = std::floor(v);
+  if (v - f == 0.5) {
+    const long lf = static_cast<long>(f);
+    return (lf % 2 == 0) ? lf : lf + 1;
+  }
+  return std::lround(v);
+}
+
 // Shorter-side resize to `size`, then torchvision-rounded center crop to
 // size x size. src is RGB w x h.
 void resize_crop(const std::vector<unsigned char>& src, int w, int h,
@@ -156,8 +168,8 @@ void resize_crop(const std::vector<unsigned char>& src, int w, int h,
     ow = static_cast<int>(static_cast<long long>(size) * w / h);
   }
   if (w == ow && h == oh) {
-    const int top = static_cast<int>(std::lround((h - size) / 2.0));
-    const int left = static_cast<int>(std::lround((w - size) / 2.0));
+    const int top = static_cast<int>(python_round_half((h - size) / 2.0));
+    const int left = static_cast<int>(python_round_half((w - size) / 2.0));
     for (int y = 0; y < size; ++y) {
       std::memcpy(out + static_cast<size_t>(y) * size * 3,
                   src.data() + ((static_cast<size_t>(top + y) * w) + left) * 3,
@@ -190,8 +202,8 @@ void resize_crop(const std::vector<unsigned char>& src, int w, int h,
 
   // vertical pass h -> oh, writing only the cropped window
   Filter fv = build_filter(h, oh);
-  const int top = static_cast<int>(std::lround((oh - size) / 2.0));
-  const int left = static_cast<int>(std::lround((ow - size) / 2.0));
+  const int top = static_cast<int>(python_round_half((oh - size) / 2.0));
+  const int left = static_cast<int>(python_round_half((ow - size) / 2.0));
   for (int y = 0; y < size; ++y) {
     const int oy = top + y;
     const float* wts = &fv.weights[static_cast<size_t>(oy) * fv.max_len];

@@ -161,10 +161,17 @@ class CLIPTokenizer:
         return out
 
     def encode(self, text: str) -> List[int]:
-        """Token ids WITHOUT bos/eos framing."""
+        """Token ids WITHOUT bos/eos framing.  Literal special tokens in the
+        text map to their special ids (the split regex matches them whole)."""
         text = _WHITESPACE.sub(" ", text).strip().lower()
         ids: List[int] = []
         for tok in _PAT.findall(text):
+            if tok == BOS_TOKEN:
+                ids.append(self.bos_id)
+                continue
+            if tok == EOS_TOKEN:
+                ids.append(self.eos_id)
+                continue
             tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
             ids.extend(self.encoder[t] for t in self._bpe(tok))
         return ids
@@ -195,11 +202,11 @@ class CLIPTokenizer:
             rows = [r if len(r) <= context_length
                     else r[:context_length - 1] + [self.eos_id]
                     for r in rows]
-            width = context_length
-        else:
-            width = max(len(r) for r in rows)
-            if pad_to_multiple:
-                width = -(-width // pad_to_multiple) * pad_to_multiple
+        width = max(len(r) for r in rows)
+        if pad_to_multiple:
+            width = -(-width // pad_to_multiple) * pad_to_multiple
+        if context_length is not None:
+            width = min(width, context_length)
         ids = np.full((len(rows), width), self.pad_id, dtype=np.int32)
         mask = np.zeros((len(rows), width), dtype=np.int32)
         for i, r in enumerate(rows):

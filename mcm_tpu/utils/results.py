@@ -20,18 +20,23 @@ def save_as_dataframe(log_directory: str, name: str,
                       out_datasets: Sequence[str], fpr_list: Sequence[float],
                       auroc_list: Sequence[float],
                       aupr_list: Sequence[float]) -> str:
-    import pandas as pd
-
     fpr = [float("{:.2f}".format(100 * v)) for v in fpr_list]
     auroc = [float("{:.2f}".format(100 * v)) for v in auroc_list]
     aupr = [float("{:.2f}".format(100 * v)) for v in aupr_list]
     data = {k: v for k, v in zip(out_datasets, zip(fpr, auroc, aupr))}
     avg = [np.mean(fpr), np.mean(auroc), np.mean(aupr)]
     data["AVG"] = [float("{:.2f}".format(m)) for m in avg]
-    df = pd.DataFrame.from_dict(data, orient="index",
-                                columns=["FPR95", "AUROC", "AUPR"])
     path = os.path.join(log_directory, f"{name}.csv")
-    df.to_csv(path)
+    try:
+        import pandas as pd
+        df = pd.DataFrame.from_dict(data, orient="index",
+                                    columns=["FPR95", "AUROC", "AUPR"])
+        df.to_csv(path)
+    except ImportError:  # byte-identical CSV without the pandas dependency
+        with open(path, "w") as f:
+            f.write(",FPR95,AUROC,AUPR\n")
+            for row, (a, b, c) in data.items():
+                f.write(f"{row},{a},{b},{c}\n")
     return path
 
 

@@ -80,3 +80,17 @@ def test_pipeline_uses_native_with_png_fallback(tmp_path, jpegs):
     batches = list(pipe)
     assert len(batches) == 1 and batches[0].valid == 2
     assert batches[0].images.shape == (2, 64, 64, 3)
+
+
+def test_crop_rounding_matches_python_round(tmp_path):
+    """(resized_dim - 224) odd → offset x.5: must use banker's rounding like
+    Python round()/torchvision, not round-half-away (confirmed review bug)."""
+    # 336x446 → resize shorter 336→224 gives 224x297; (297-224)/2 = 36.5
+    yy, xx = np.mgrid[0:446, 0:336]
+    img = np.stack([yy % 256, xx % 256, (yy + xx) % 256], -1).astype(np.uint8)
+    p = str(tmp_path / "odd.jpg")
+    Image.fromarray(img).save(p, quality=95)
+    ref = load_image_uint8(p, 224).astype(np.int32)
+    got = decode_one(p, 224).astype(np.int32)
+    diff = np.abs(ref - got)
+    assert diff.max() <= 2, diff.max()

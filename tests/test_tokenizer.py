@@ -103,3 +103,10 @@ def test_truncation_keeps_eos(ours):
     ids, mask = ours(["cat " * 100], context_length=16)
     assert ids[0, -1] == ours.eos_id  # EOS survives truncation
     assert int(np.argmax(ids[0])) == 15  # EOT pooling finds it
+
+
+def test_literal_special_tokens_match_hf(ours, theirs):
+    text = "cat <|endoftext|> cat"
+    ref = theirs(text)["input_ids"]
+    got = [ours.bos_id] + ours.encode(text) + [ours.eos_id]
+    assert got == ref
