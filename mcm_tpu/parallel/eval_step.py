@@ -26,8 +26,7 @@ from mcm_tpu.config import CLIPConfig, Precision
 from mcm_tpu.data.transforms import CLIP_MEAN, CLIP_STD, normalize_on_device
 from mcm_tpu.models import clip as jclip
 from mcm_tpu.parallel import mesh as meshlib
-from mcm_tpu.scores.clip_scores import (_scores_from_logits, l2_normalize,
-                                        similarity_logits)
+from mcm_tpu.scores.clip_scores import l2_normalize
 from mcm_tpu.scores.mahalanobis import mahalanobis_score
 
 
@@ -69,16 +68,16 @@ class EvalStep:
         repl = meshlib.replicated(self.mesh)
         param_sh = meshlib.param_shardings(self.mesh)
 
-        use_fused_score = self._dp_only
+        # Pallas score kernel only where the program isn't SPMD-partitioned
+        # (single device, or per-device via the shard_map branch below);
+        # impl="xla" is the identical-math jnp path.
+        score_impl = None if self._dp_only else "xla"
 
         def score_fn(params, images_u8, text_feats):
+            from mcm_tpu.ops.mcm_score import fused_mcm_scores
             feats = _encode_pixels(params, cfg, images_u8, self.precision)
-            if use_fused_score:
-                from mcm_tpu.ops.mcm_score import fused_mcm_scores
-                return fused_mcm_scores(feats.astype(jnp.float32),
-                                        text_feats, score, self.T)
-            logits = similarity_logits(feats, text_feats)
-            return _scores_from_logits(logits, self.T)[score]
+            return fused_mcm_scores(feats.astype(jnp.float32), text_feats,
+                                    score, self.T, impl=score_impl)
 
         def features_fn(params, images_u8):
             return _encode_pixels(params, cfg, images_u8,

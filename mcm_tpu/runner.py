@@ -106,6 +106,8 @@ class _HashTokenizer:
     def __call__(self, texts: Sequence[str], pad_to_multiple: int = 8,
                  context_length: Optional[int] = None):
         import hashlib
+
+        from mcm_tpu.text.tokenizer import pad_token_rows
         rows = []
         for t in texts:
             ids = [self.bos_id]
@@ -116,17 +118,8 @@ class _HashTokenizer:
             if context_length and len(ids) > context_length:
                 ids = ids[:context_length - 1] + [self.eos_id]
             rows.append(ids)
-        width = max(len(r) for r in rows)
-        if pad_to_multiple:
-            width = -(-width // pad_to_multiple) * pad_to_multiple
-        if context_length:
-            width = min(width, context_length)
-        out = np.full((len(rows), width), self.pad_id, dtype=np.int32)
-        mask = np.zeros_like(out)
-        for i, r in enumerate(rows):
-            out[i, :len(r)] = r
-            mask[i, :len(r)] = 1
-        return out, mask
+        return pad_token_rows(rows, self.pad_id, pad_to_multiple,
+                              context_length)
 
 
 def build_model_and_step(cfg: RunConfig, log=None):
@@ -187,37 +180,56 @@ def _encode_prompts(step: EvalStep, params, tokenizer, class_names,
     return step.put_replicated(text)
 
 
-def score_dataset(step: EvalStep, params, dataset, text_feats,
-                  cfg: RunConfig, telemetry: Optional[Telemetry] = None,
-                  drop_remainder: bool = False) -> np.ndarray:
-    """Stream a dataset through the compiled score step.
+class _StreamReadback:
+    """One-batch-behind host readback: dispatch batch i+1 while batch i's
+    result transfers — the overlap pattern shared by every device-streaming
+    pass (scores, features, maha)."""
 
-    Dispatch is async: batch i+1 uploads/computes while batch i reads back."""
-    tel = telemetry or Telemetry()
-    pipe = DataPipeline(dataset, cfg.batch_size, image_size=cfg.image_size,
+    def __init__(self, telemetry: Optional[Telemetry] = None,
+                 depth: int = 1):
+        self._tel = telemetry or Telemetry()
+        self._depth = depth
+        self._pending: List = []
+        self.out: List[np.ndarray] = []
+
+    def push(self, device_value) -> None:
+        self._pending.append(device_value)
+        self._drain(self._depth)
+
+    def finish(self) -> List[np.ndarray]:
+        self._drain(0)
+        return self.out
+
+    def _drain(self, limit: int) -> None:
+        while len(self._pending) > limit:
+            with self._tel.stage("readback"):
+                self.out.append(np.asarray(self._pending.pop(0)))
+
+
+def _make_pipe(dataset, cfg: RunConfig,
+               drop_remainder: bool = False) -> DataPipeline:
+    return DataPipeline(dataset, cfg.batch_size, image_size=cfg.image_size,
                         num_workers=cfg.num_workers, prefetch=cfg.prefetch,
                         drop_remainder=drop_remainder,
                         fast_decode=cfg.fast_decode)
-    pending: List = []   # (device_scores, valid)
-    outs: List[np.ndarray] = []
+
+
+def score_dataset(step: EvalStep, params, dataset, text_feats,
+                  cfg: RunConfig, telemetry: Optional[Telemetry] = None,
+                  drop_remainder: bool = False) -> np.ndarray:
+    """Stream a dataset through the compiled score step."""
+    tel = telemetry or Telemetry()
+    pipe = _make_pipe(dataset, cfg, drop_remainder)
+    stream = _StreamReadback(tel)
     valids: List[int] = []
-
-    def drain(limit: int):
-        while len(pending) > limit:
-            dev_scores, valid = pending.pop(0)
-            with tel.stage("readback"):
-                outs.append(np.asarray(dev_scores))
-            valids.append(valid)
-
     for batch in pipe:
         with tel.stage("h2d"):
             images = step.put_batch(batch.images)
         with tel.stage("dispatch"):
-            pending.append((step.score(params, images, text_feats),
-                            batch.valid))
+            stream.push(step.score(params, images, text_feats))
+        valids.append(batch.valid)
         tel.add_images(batch.valid)
-        drain(1)  # stay one batch behind
-    drain(0)
+    outs = stream.finish()
 
     total = (len(pipe) * cfg.batch_size if drop_remainder
              else pipe.num_samples)
@@ -226,26 +238,14 @@ def score_dataset(step: EvalStep, params, dataset, text_feats,
 
 def extract_features(step: EvalStep, params, dataset, cfg: RunConfig
                      ) -> tuple:
-    """All image features + labels for a dataset (Mahalanobis templates).
-
-    Same one-batch-behind readback pipeline as :func:`score_dataset`."""
-    pipe = DataPipeline(dataset, cfg.batch_size, image_size=cfg.image_size,
-                        num_workers=cfg.num_workers, prefetch=cfg.prefetch,
-                        fast_decode=cfg.fast_decode)
-    pending: List = []
-    feats, labels = [], []
-
-    def drain(limit: int):
-        while len(pending) > limit:
-            dev, valid = pending.pop(0)
-            feats.append(np.asarray(dev)[:valid])
-
-    for batch in pipe:
-        pending.append((step.features(params, step.put_batch(batch.images)),
-                        batch.valid))
+    """All image features + labels for a dataset (Mahalanobis templates)."""
+    stream = _StreamReadback()
+    valids, labels = [], []
+    for batch in _make_pipe(dataset, cfg):
+        stream.push(step.features(params, step.put_batch(batch.images)))
+        valids.append(batch.valid)
         labels.append(batch.labels[:batch.valid])
-        drain(1)
-    drain(0)
+    feats = [f[:v] for f, v in zip(stream.finish(), valids)]
     return np.concatenate(feats), np.concatenate(labels)
 
 
@@ -267,8 +267,7 @@ def _maha_templates(cfg: RunConfig, step: EvalStep, params, log):
                                     subset=cfg.subset,
                                     max_count=cfg.max_count)
         feats, labels = extract_features(step, params, train_ds, cfg)
-        n_cls = len(get_test_labels(cfg.in_dataset,
-                                    getattr(train_ds, "base", train_ds)))
+        n_cls = len(get_test_labels(cfg.in_dataset, train_ds))
         mu, prec = estimate_mean_precision(feats, labels, n_cls,
                                            normalize=cfg.normalize)
         cond = np.linalg.cond(prec)
@@ -284,24 +283,15 @@ def maha_score_dataset(step: EvalStep, params, dataset, mu, prec,
     """Mahalanobis scoring pass.  Reference quirk preserved: OOD passes drop
     the final partial batch (``detection_util.py:189``)."""
     drop = not in_dist
-    pipe = DataPipeline(dataset, cfg.batch_size, image_size=cfg.image_size,
-                        num_workers=cfg.num_workers, prefetch=cfg.prefetch,
-                        drop_remainder=drop, fast_decode=cfg.fast_decode)
-    pending: List = []
-    outs, valids = [], []
-
-    def drain(limit: int):
-        while len(pending) > limit:
-            outs.append(np.asarray(pending.pop(0)))
-
+    pipe = _make_pipe(dataset, cfg, drop_remainder=drop)
+    stream = _StreamReadback()
+    valids = []
     for batch in pipe:
         f = step.features(params, step.put_batch(batch.images))
-        pending.append(step.maha(f, mu, prec, normalize=cfg.normalize))
+        stream.push(step.maha(f, mu, prec, normalize=cfg.normalize))
         valids.append(batch.valid)
-        drain(1)
-    drain(0)
     total = len(pipe) * cfg.batch_size if drop else pipe.num_samples
-    return collect_scores(outs, valids, min(total, sum(valids)))
+    return collect_scores(stream.finish(), valids, min(total, sum(valids)))
 
 
 def run_eval(cfg: RunConfig) -> Dict[str, Dict[str, float]]:

@@ -58,6 +58,28 @@ def _get_pairs(word: Tuple[str, ...]) -> set:
     return {(a, b) for a, b in zip(word[:-1], word[1:])}
 
 
+def pad_token_rows(rows: List[List[int]], pad_id: int,
+                   pad_to_multiple: Optional[int] = None,
+                   context_length: Optional[int] = None
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Right-pad variable-length id rows → (ids [B, S], mask [B, S]) int32.
+
+    Width = longest row, rounded up to ``pad_to_multiple`` (TPU-friendly
+    static shapes), clamped to ``context_length``.  Rows are assumed already
+    truncated to the context window."""
+    width = max(len(r) for r in rows)
+    if pad_to_multiple:
+        width = -(-width // pad_to_multiple) * pad_to_multiple
+    if context_length is not None:
+        width = min(width, context_length)
+    ids = np.full((len(rows), width), pad_id, dtype=np.int32)
+    mask = np.zeros((len(rows), width), dtype=np.int32)
+    for i, r in enumerate(rows):
+        ids[i, :len(r)] = r
+        mask[i, :len(r)] = 1
+    return ids, mask
+
+
 class CLIPTokenizer:
     """Drop-in offline CLIP tokenizer.
 
@@ -80,6 +102,7 @@ class CLIPTokenizer:
         self.bpe_ranks = {pair: i for i, pair in enumerate(merges)}
 
         self.byte_encoder = bytes_to_unicode()
+        self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
         self.bos_id = self.encoder[BOS_TOKEN]
         self.eos_id = self.encoder[EOS_TOKEN]
         self.pad_id = self.eos_id  # HF CLIPTokenizer pads with EOT
@@ -177,10 +200,9 @@ class CLIPTokenizer:
         return ids
 
     def decode(self, ids: Iterable[int]) -> str:
-        byte_decoder = {v: k for k, v in self.byte_encoder.items()}
         text = "".join(self.decoder[i] for i in ids
                        if i not in (self.bos_id, self.eos_id))
-        raw = bytearray(byte_decoder[c] for c in text)
+        raw = bytearray(self.byte_decoder[c] for c in text)
         return raw.decode("utf-8", errors="replace").replace("</w>", " ").strip()
 
     # -- batch API (what the scoring path consumes) ---------------------------
@@ -202,14 +224,5 @@ class CLIPTokenizer:
             rows = [r if len(r) <= context_length
                     else r[:context_length - 1] + [self.eos_id]
                     for r in rows]
-        width = max(len(r) for r in rows)
-        if pad_to_multiple:
-            width = -(-width // pad_to_multiple) * pad_to_multiple
-        if context_length is not None:
-            width = min(width, context_length)
-        ids = np.full((len(rows), width), self.pad_id, dtype=np.int32)
-        mask = np.zeros((len(rows), width), dtype=np.int32)
-        for i, r in enumerate(rows):
-            ids[i, :len(r)] = r
-            mask[i, :len(r)] = 1
-        return ids, mask
+        return pad_token_rows(rows, self.pad_id, pad_to_multiple,
+                              context_length)
