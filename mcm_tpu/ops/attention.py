@@ -50,10 +50,11 @@ def _xla_attention(q, k, v, mask, precision: Precision):
 
 
 def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    q = q_ref[0].astype(jnp.float32) * scale          # [blk_q, Dh]
-    k = k_ref[0].astype(jnp.float32)                  # [S, Dh]
+    # matmul inputs stay in the storage dtype (bf16 → full-rate MXU pass,
+    # fp32 accumulation via preferred_element_type); softmax math in fp32.
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
     logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
+        q, k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)           # [blk_q, S]
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
