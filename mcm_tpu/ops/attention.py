@@ -66,7 +66,9 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
 
 @functools.partial(jax.jit, static_argnames=("block_q",))
 def _pallas_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                      block_q: int = 128) -> jax.Array:
+                      block_q: int = 256) -> jax.Array:
+    # default block covers the whole encoder sequence (≤257): one program
+    # per (batch·head), K/V fetched once — measured faster than 128-tiles
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
