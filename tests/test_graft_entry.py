@@ -23,3 +23,29 @@ def test_dryrun_multichip_four_devices(capsys):
 
     g.dryrun_multichip(4)
     assert "train loss" in capsys.readouterr().out
+
+
+def test_dryrun_multichip_with_initialized_single_device_backend():
+    """Reproduces the driver's round-1 failure mode: the caller has already
+    initialized a JAX backend with fewer devices than requested.  The hook
+    must re-exec with a forced device count instead of asserting."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if "xla_force_host_platform_device_count" not in v
+           or k != "XLA_FLAGS"}
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in [repo, env.get("PYTHONPATH", "")] if p)
+    code = (
+        "import jax; nd = len(jax.devices());"
+        "assert nd < 8, f'precondition: expected <8 devices, got {nd}';"
+        "import __graft_entry__ as g; g.dryrun_multichip(8)")
+    proc = subprocess.run([sys.executable, "-c", code], env=env, cwd=repo,
+                          capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr
+    assert "train loss" in proc.stdout
