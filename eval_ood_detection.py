@@ -49,8 +49,12 @@ def process_args():
                         help="which pretrained img encoder to use")
     parser.add_argument("--score", default="MCM", type=str,
                         choices=["MCM", "energy", "max-logit", "entropy",
-                                 "var", "maha"],
-                        help="score options")
+                                 "var", "maha", "odin"],
+                        help="score options (odin: input-preprocessed MSP — "
+                             "vestigial in the reference, invocable here)")
+    parser.add_argument("--noiseMagnitude", default=0.0014, type=float,
+                        help="ODIN perturbation magnitude (the flag the "
+                             "reference reads but never registers)")
     # Mahalanobis flags (quirky type=bool kept for drop-in compatibility)
     parser.add_argument("--feat_dim", type=int, default=512,
                         help="compat only; derived from --CLIP_ckpt")
@@ -131,6 +135,7 @@ def main():
         eval_accuracy=args.eval_accuracy,
         fast_decode=args.fast_decode,
         finetune_ckpt=args.finetune_ckpt,
+        noise_magnitude=args.noiseMagnitude,
     )
     os.makedirs(cfg.log_directory, exist_ok=True)
     run_eval(cfg)

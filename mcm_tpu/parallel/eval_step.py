@@ -47,10 +47,12 @@ class EvalStep:
 
     def __init__(self, cfg: CLIPConfig, score: str = "MCM", T: float = 1.0,
                  precision: Precision = Precision.fast(),
-                 mesh: Optional[Mesh] = None):
+                 mesh: Optional[Mesh] = None,
+                 noise_magnitude: float = 0.0014):
         self.cfg = cfg
         self.score_name = score
         self.T = float(T)
+        self.noise_magnitude = float(noise_magnitude)
         self.mesh = mesh if mesh is not None else meshlib.make_mesh(1)
         # Pallas kernels are opaque to the SPMD partitioner.  Pure-DP meshes
         # run the per-device program under shard_map (kernels apply on each
@@ -75,9 +77,27 @@ class EvalStep:
 
         def score_fn(params, images_u8, text_feats):
             from mcm_tpu.ops.mcm_score import fused_mcm_scores
-            feats = _encode_pixels(params, cfg, images_u8, self.precision)
+            x = normalize_on_device(images_u8, CLIP_MEAN, CLIP_STD,
+                                    dtype=self.precision.activation_dtype)
+            if score == "odin":
+                # ODIN input preprocessing (reference
+                # ``detection_util.py:122-146``): nudge the normalized
+                # pixels against the NLL gradient sign, then score the
+                # perturbed batch with temperature-scaled max-softmax.
+                from mcm_tpu.scores.odin import odin_perturb
+
+                def logits_fn(xi):
+                    f = jclip.encode_image(params, cfg.vision, xi,
+                                           self.precision)
+                    f = l2_normalize(f.astype(jnp.float32))
+                    return f @ text_feats.T / self.T
+
+                x = odin_perturb(logits_fn, x, self.noise_magnitude,
+                                 std=CLIP_STD)
+            feats = jclip.encode_image(params, cfg.vision, x, self.precision)
+            inner = "MCM" if score == "odin" else score
             return fused_mcm_scores(feats.astype(jnp.float32), text_feats,
-                                    score, self.T, impl=score_impl)
+                                    inner, self.T, impl=score_impl)
 
         def features_fn(params, images_u8):
             return _encode_pixels(params, cfg, images_u8,
@@ -175,3 +195,93 @@ class EvalStep:
             outs.append(f[:f.shape[0] - pad] if pad else f)
         text = jnp.concatenate(outs, axis=0)
         return self.put_replicated(text)
+
+
+class VitLinearStep:
+    """Supervised ViT + linear head through the standard score family.
+
+    The reference's ``vit-Linear`` configuration
+    (``/root/reference/utils/detection_util.py:124-133``): image features =
+    CLS token of the last hidden state, logits = linear classifier over
+    them, scored by the same max-softmax/energy/… family.  Presents the
+    same interface subset as :class:`EvalStep` (``put_*``, ``score``,
+    ``features``) so the runner streams batches identically; ``features``
+    returns the classifier *logits* — the substrate every score and the
+    accuracy meter derive from.
+
+    Data-parallel only: the supervised tower fits one chip many times over,
+    so params are replicated and the batch is sharded (shard_map on
+    multi-device meshes, plain jit on one device).
+    """
+
+    def __init__(self, cfg, score: str = "MCM", T: float = 1.0,
+                 precision: Precision = Precision.fast(),
+                 mesh: Optional[Mesh] = None,
+                 noise_magnitude: float = 0.0014):
+        from mcm_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+        from mcm_tpu.models import vit as jvit
+        from mcm_tpu.scores.clip_scores import _scores_from_logits
+
+        self.cfg = cfg
+        self.score_name = score
+        self.T = float(T)
+        self.precision = precision
+        self.mesh = mesh if mesh is not None else meshlib.make_mesh(1)
+        if self.mesh.shape[meshlib.MODEL_AXIS] != 1:
+            raise ValueError("--model vit-Linear runs data-parallel only; "
+                             "use --model_parallel 1")
+
+        batch_sh = meshlib.batch_sharding(self.mesh)
+        repl = meshlib.replicated(self.mesh)
+
+        def logits_fn(params, images_u8):
+            x = normalize_on_device(images_u8, IMAGENET_MEAN, IMAGENET_STD,
+                                    dtype=precision.activation_dtype)
+            if score == "odin":
+                from mcm_tpu.scores.odin import odin_perturb
+                x = odin_perturb(
+                    lambda xi: jvit.forward_logits(params, cfg, xi,
+                                                   precision) / self.T,
+                    x, float(noise_magnitude), std=IMAGENET_STD)
+            return jvit.forward_logits(params, cfg, x, precision)
+
+        def score_fn(params, images_u8):
+            inner = "MCM" if score == "odin" else score
+            logits = logits_fn(params, images_u8).astype(jnp.float32)
+            return _scores_from_logits(logits, self.T)[inner]
+
+        features_fn = lambda params, images_u8: (
+            logits_fn(params, images_u8).astype(jnp.float32))
+
+        if self.mesh.size > 1:
+            score_fn = jax.shard_map(
+                score_fn, mesh=self.mesh,
+                in_specs=(P(), P(meshlib.DATA_AXIS)),
+                out_specs=P(meshlib.DATA_AXIS))
+            features_fn = jax.shard_map(
+                features_fn, mesh=self.mesh,
+                in_specs=(P(), P(meshlib.DATA_AXIS)),
+                out_specs=P(meshlib.DATA_AXIS))
+
+        self._score = jax.jit(score_fn, in_shardings=(repl, batch_sh),
+                              out_shardings=batch_sh)
+        self._features = jax.jit(features_fn, in_shardings=(repl, batch_sh),
+                                 out_shardings=batch_sh)
+        self.batch_sharding = batch_sh
+        self.replicated = repl
+
+    def put_params(self, params):
+        return jax.device_put(
+            jax.tree_util.tree_map(jnp.asarray, params), self.replicated)
+
+    def put_batch(self, images_u8: np.ndarray) -> jax.Array:
+        return jax.device_put(images_u8, self.batch_sharding)
+
+    def put_replicated(self, x) -> jax.Array:
+        return jax.device_put(jnp.asarray(x), self.replicated)
+
+    def score(self, params, images_u8, text_feats=None) -> jax.Array:
+        return self._score(params, images_u8)
+
+    def features(self, params, images_u8) -> jax.Array:
+        return self._features(params, images_u8)

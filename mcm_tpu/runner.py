@@ -31,7 +31,7 @@ from mcm_tpu.data import (DataPipeline, collect_scores, default_out_datasets,
 from mcm_tpu.metrics import get_measures, print_measures
 from mcm_tpu.models.convert import resolve_clip_params
 from mcm_tpu.models.init import init_clip
-from mcm_tpu.parallel import EvalStep, make_mesh
+from mcm_tpu.parallel import EvalStep, VitLinearStep, make_mesh
 from mcm_tpu.scores.mahalanobis import estimate_mean_precision
 from mcm_tpu.text import CLIPTokenizer, build_prompts
 from mcm_tpu.text.prompts import DEFAULT_TEMPLATE, OPENAI_IMAGENET_TEMPLATES
@@ -77,8 +77,13 @@ class RunConfig:
     eval_accuracy: bool = False             # log ID zero-shot top-1/top-5
     fast_decode: bool = False               # DCT-prescaled native decode
     #: fine-tuned checkpoint (.npz pytree) replacing the pretrained weights
-    #: when --model CLIP-Linear (reference train_eval_util.py:24-25)
+    #: when --model CLIP-Linear (reference train_eval_util.py:24-25);
+    #: for --model vit-Linear: a linear-probe head {w, b} npz overriding the
+    #: checkpoint's own classifier (reference detection_util.py:127-133)
     finetune_ckpt: Optional[str] = None
+    #: ODIN perturbation magnitude — the flag the reference reads but
+    #: forgot to register (detection_util.py:145 args.noiseMagnitude)
+    noise_magnitude: float = 0.0014
     out_datasets: Optional[List[str]] = None
 
     @property
@@ -122,8 +127,59 @@ class _HashTokenizer:
                               context_length)
 
 
+def _build_vit_linear(cfg: RunConfig):
+    """Supervised ViT + linear head (reference ``vit-Linear``,
+    ``detection_util.py:124-133``): backbone from an HF
+    ``google/vit-base-patch16-224`` snapshot; head = the checkpoint's own
+    classifier, or a trained linear probe passed via ``--finetune_ckpt``."""
+    import jax
+
+    from mcm_tpu.config import SupervisedViTConfig
+    from mcm_tpu.models import vit as jvit
+    from mcm_tpu.models.convert import load_params, load_state_dict
+
+    if cfg.score == "maha":
+        raise ValueError("--score maha is CLIP-feature-based; "
+                         "not supported with --model vit-Linear")
+    vit_cfg = SupervisedViTConfig()
+    params = None
+    ckpt_dir = cfg.ckpt_dir or os.environ.get("MCM_TPU_CKPT_DIR",
+                                              "checkpoints")
+    native = os.path.join(ckpt_dir, "vit-base-patch16-224.npz")
+    snapshot = os.path.join(ckpt_dir, "vit-base-patch16-224")
+    if os.path.exists(native):
+        params = load_params(native)
+    elif os.path.isdir(snapshot):
+        params = jvit.convert_hf_vit(load_state_dict(snapshot), vit_cfg)
+    if params is None:
+        if not cfg.allow_random_weights:
+            raise FileNotFoundError(
+                "no supervised ViT weights for --model vit-Linear; put an "
+                "HF ViTForImageClassification snapshot (or converted .npz) "
+                "under --ckpt_dir, or pass --allow_random_weights")
+        warnings.warn("RANDOM WEIGHTS in use — scores are meaningless; "
+                      "this mode is for smoke/throughput tests only")
+        from mcm_tpu.models.init import init_supervised_vit
+        params = init_supervised_vit(jax.random.key(0), vit_cfg)
+    if cfg.finetune_ckpt:
+        head = np.load(cfg.finetune_ckpt)
+        params["head"] = {"w": head["w"].astype(np.float32),
+                          "b": head["b"].astype(np.float32)}
+    n_cls = np.asarray(params["head"]["b"]).shape[0]
+    vit_cfg = dataclasses.replace(vit_cfg, num_classes=int(n_cls))
+    mesh = make_mesh(cfg.n_devices, model_parallel=cfg.model_parallel)
+    step = VitLinearStep(vit_cfg, score=cfg.score, T=cfg.T,
+                         precision=resolve_precision(cfg.precision),
+                         mesh=mesh, noise_magnitude=cfg.noise_magnitude)
+    return step.put_params(params), None, step
+
+
 def build_model_and_step(cfg: RunConfig, log=None):
-    """Resolve weights + tokenizer, build the mesh-bound EvalStep."""
+    """Resolve weights + tokenizer, build the mesh-bound eval step
+    (EvalStep for CLIP towers; VitLinearStep for --model vit-Linear)."""
+    if cfg.model == "vit-Linear":
+        return _build_vit_linear(cfg)
+
     clip_cfg = CLIP_CONFIGS[cfg.clip_ckpt]()
     precision = resolve_precision(cfg.precision)
 
@@ -156,7 +212,8 @@ def build_model_and_step(cfg: RunConfig, log=None):
 
     mesh = make_mesh(cfg.n_devices, model_parallel=cfg.model_parallel)
     step = EvalStep(clip_cfg, score=cfg.score if cfg.score != "maha" else "MCM",
-                    T=cfg.T, precision=precision, mesh=mesh)
+                    T=cfg.T, precision=precision, mesh=mesh,
+                    noise_magnitude=cfg.noise_magnitude)
     return step.put_params(params), tokenizer, step
 
 
@@ -294,6 +351,22 @@ def maha_score_dataset(step: EvalStep, params, dataset, mu, prec,
     return collect_scores(stream.finish(), valids, min(total, sum(valids)))
 
 
+def _id_features_cached(step, params, val_ds, cfg: RunConfig, log,
+                        maybe_profile):
+    """ID features (+labels), honoring --resume (the round-1 asymmetry:
+    only scores were cached, so resume + --eval_accuracy re-extracted)."""
+    path = os.path.join(cfg.log_directory,
+                        f"ID_{cfg.in_dataset}_features.npz")
+    if cfg.resume and os.path.exists(path):
+        data = np.load(path)
+        log.debug(f"resume: loaded cached ID features for {cfg.in_dataset}")
+        return data["features"], data["labels"]
+    with maybe_profile(cfg.trace_dir):
+        feats, labels = extract_features(step, params, val_ds, cfg)
+    np.savez(path, features=feats, labels=labels)
+    return feats, labels
+
+
 def run_eval(cfg: RunConfig) -> Dict[str, Dict[str, float]]:
     """Full evaluation (reference ``main``, ``eval_ood_detection.py:53-99``).
 
@@ -312,7 +385,7 @@ def run_eval(cfg: RunConfig) -> Dict[str, Dict[str, float]]:
     mu = prec = text_feats = None
     if cfg.score == "maha":
         mu, prec = _maha_templates(cfg, step, params, log)
-    else:
+    elif cfg.model != "vit-Linear":  # vit-Linear scores classifier logits
         text_feats = _encode_prompts(step, params, tokenizer, test_labels,
                                      cfg.template_ensemble)
 
@@ -332,24 +405,37 @@ def run_eval(cfg: RunConfig) -> Dict[str, Dict[str, float]]:
         return s
 
     from mcm_tpu.utils.telemetry import maybe_profile
-    if cfg.eval_accuracy and cfg.score != "maha":
+    # ODIN scores need the perturbed forward, so the shared-features fast
+    # path below can't produce them — fall through to the normal score pass.
+    if cfg.eval_accuracy and cfg.score not in ("maha", "odin"):
         # single ID pass: extract features once, derive both the OOD scores
-        # and the zero-shot accuracy from them (no second encode epoch)
-        from mcm_tpu.data.labels import prompt_permutation
-        from mcm_tpu.scores import compute_scores
-        from mcm_tpu.utils.meters import zero_shot_accuracy
-        with maybe_profile(cfg.trace_dir):
-            feats, labels = extract_features(step, params, val_ds, cfg)
-        in_score = np.asarray(compute_scores(feats, np.asarray(text_feats),
-                                             score=cfg.score, T=cfg.T))
+        # and the accuracy from them (no second encode epoch); features are
+        # cached so --resume skips re-extraction too (not just scores)
+        feats, labels = _id_features_cached(step, params, val_ds, cfg, log,
+                                            maybe_profile)
+        if cfg.model == "vit-Linear":
+            # "features" are classifier logits — score + accuracy directly
+            from mcm_tpu.scores.msp import msp_scores
+            from mcm_tpu.utils.meters import accuracy
+            in_score = np.asarray(msp_scores(feats, cfg.score, cfg.T))
+            top1, top5 = accuracy(feats, labels, topk=(1, 5))
+            log.debug(f"ID classifier accuracy: top1 {top1:.2f}% "
+                      f"top5 {top5:.2f}%")
+        else:
+            from mcm_tpu.data.labels import prompt_permutation
+            from mcm_tpu.scores import compute_scores
+            from mcm_tpu.utils.meters import zero_shot_accuracy
+            in_score = np.asarray(compute_scores(
+                feats, np.asarray(text_feats), score=cfg.score, T=cfg.T))
+            # align label indices with prompt rows (ImageNet100 prompts
+            # follow class_list order, not the sorted-wnid label order)
+            perm = prompt_permutation(cfg.in_dataset)
+            mapped = perm[labels] if perm is not None else labels
+            top1, top5 = zero_shot_accuracy(feats, np.asarray(text_feats),
+                                            mapped, topk=(1, 5))
+            log.debug(f"ID zero-shot accuracy: top1 {top1:.2f}% "
+                      f"top5 {top5:.2f}%")
         save_scores(cfg.log_directory, f"ID_{cfg.in_dataset}", in_score)
-        # align label indices with prompt rows (ImageNet100 prompts follow
-        # class_list order, not the sorted-wnid label order)
-        perm = prompt_permutation(cfg.in_dataset)
-        mapped = perm[labels] if perm is not None else labels
-        top1, top5 = zero_shot_accuracy(feats, np.asarray(text_feats),
-                                        mapped, topk=(1, 5))
-        log.debug(f"ID zero-shot accuracy: top1 {top1:.2f}% top5 {top5:.2f}%")
     else:
         with maybe_profile(cfg.trace_dir):
             in_score = scores_for(val_ds, f"ID_{cfg.in_dataset}", True)
