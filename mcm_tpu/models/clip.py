@@ -118,16 +118,20 @@ def transformer_block(x: jax.Array, layer: Params, *, heads: int, eps: float,
 
 
 def run_transformer(x: jax.Array, layers: Params, *, heads: int, eps: float,
-                    mask: Optional[jax.Array],
-                    precision: Precision) -> jax.Array:
-    """Scan one traced block over the stacked per-layer parameters."""
+                    mask: Optional[jax.Array], precision: Precision,
+                    collect_hidden: bool = False):
+    """Scan one traced block over the stacked per-layer parameters.
+
+    ``collect_hidden=True`` additionally returns the per-layer outputs
+    stacked as [L, B, S, D] (parity harness: HF ``output_hidden_states``)."""
 
     def body(carry, layer):
-        return transformer_block(carry, layer, heads=heads, eps=eps,
-                                 mask=mask, precision=precision), None
+        y = transformer_block(carry, layer, heads=heads, eps=eps,
+                              mask=mask, precision=precision)
+        return y, (y if collect_hidden else None)
 
-    x, _ = jax.lax.scan(body, x, layers)
-    return x
+    x, hs = jax.lax.scan(body, x, layers)
+    return (x, hs) if collect_hidden else x
 
 
 # ---------------------------------------------------------------------------
@@ -150,12 +154,17 @@ def patchify(pixel_values: jax.Array, patch_size: int) -> jax.Array:
 
 
 def encode_image(params: Params, cfg: VisionConfig, pixel_values: jax.Array,
-                 precision: Precision = Precision.parity()) -> jax.Array:
+                 precision: Precision = Precision.parity(),
+                 collect_hidden: bool = False):
     """Image features in the joint space (reference: ``net.get_image_features``,
     ``detection_util.py:225``).  NOT L2-normalized — scoring owns that.
 
     pixel_values: [B, H, W, C] float (already resized/cropped/normalized),
     NHWC.  Accepts NCHW too (auto-transposed) for drop-in parity testing.
+
+    ``collect_hidden=True`` → ``(features, hiddens)`` with hiddens shaped
+    [L+1, B, S, D]: the layer-0 input (post pre-LN) followed by every
+    layer's output — index-compatible with HF ``output_hidden_states``.
     """
     v = params["vision"]
     if pixel_values.shape[-1] != 3 and pixel_values.shape[1] == 3:
@@ -172,14 +181,23 @@ def encode_image(params: Params, cfg: VisionConfig, pixel_values: jax.Array,
 
     x = layer_norm(x, v["pre_ln"]["scale"], v["pre_ln"]["bias"],
                    cfg.layer_norm_eps)
-    x = run_transformer(x, v["layers"], heads=cfg.heads,
-                        eps=cfg.layer_norm_eps, mask=None,
-                        precision=precision)
+    out = run_transformer(x, v["layers"], heads=cfg.heads,
+                          eps=cfg.layer_norm_eps, mask=None,
+                          precision=precision,
+                          collect_hidden=collect_hidden)
+    hiddens = None
+    if collect_hidden:
+        last, hs = out
+        hiddens = jnp.concatenate([x[None], hs], axis=0)
+        x = last
+    else:
+        x = out
 
     pooled = x[:, 0, :]  # CLS token
     pooled = layer_norm(pooled, v["post_ln"]["scale"], v["post_ln"]["bias"],
                         cfg.layer_norm_eps)
-    return _dense(pooled, v["proj"], None, precision)
+    feats = _dense(pooled, v["proj"], None, precision)
+    return (feats, hiddens) if collect_hidden else feats
 
 
 # ---------------------------------------------------------------------------
@@ -200,13 +218,17 @@ def _text_mask(attention_mask: Optional[jax.Array], seq_len: int,
 
 def encode_text(params: Params, cfg: TextConfig, input_ids: jax.Array,
                 attention_mask: Optional[jax.Array] = None,
-                precision: Precision = Precision.parity()) -> jax.Array:
+                precision: Precision = Precision.parity(),
+                collect_hidden: bool = False):
     """Text features in the joint space (reference: ``net.get_text_features``,
     ``detection_util.py:229-230``).  NOT L2-normalized.
 
     input_ids: [B, S] int32 (S ≤ context_length).  Pooling takes the position
     of the largest token id (the EOT token, id vocab_size-1), matching HF's
     pooling for OpenAI checkpoints.
+
+    ``collect_hidden=True`` → ``(features, hiddens)``, hiddens [L+1, B, S, D]
+    (embedding output + every layer output, HF ``output_hidden_states``).
     """
     t = params["text"]
     cdt = precision.activation_dtype
@@ -216,15 +238,24 @@ def encode_text(params: Params, cfg: TextConfig, input_ids: jax.Array,
     x = x + t["pos_emb"][:s].astype(cdt)
 
     mask = _text_mask(attention_mask, s, b)
-    x = run_transformer(x, t["layers"], heads=cfg.heads,
-                        eps=cfg.layer_norm_eps, mask=mask,
-                        precision=precision)
+    out = run_transformer(x, t["layers"], heads=cfg.heads,
+                          eps=cfg.layer_norm_eps, mask=mask,
+                          precision=precision,
+                          collect_hidden=collect_hidden)
+    hiddens = None
+    if collect_hidden:
+        last, hs = out
+        hiddens = jnp.concatenate([x[None], hs], axis=0)
+        x = last
+    else:
+        x = out
     x = layer_norm(x, t["final_ln"]["scale"], t["final_ln"]["bias"],
                    cfg.layer_norm_eps)
 
     eot_idx = jnp.argmax(input_ids, axis=-1)  # EOT has the largest id
     pooled = jnp.take_along_axis(x, eot_idx[:, None, None], axis=1)[:, 0]
-    return _dense(pooled, t["proj"], None, precision)
+    feats = _dense(pooled, t["proj"], None, precision)
+    return (feats, hiddens) if collect_hidden else feats
 
 
 # ---------------------------------------------------------------------------

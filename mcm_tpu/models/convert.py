@@ -97,7 +97,8 @@ def _tower_layers(sd: Dict[str, np.ndarray], prefix: str, n: int) -> Params:
 def convert_hf_clip(sd: Dict[str, np.ndarray], cfg: CLIPConfig) -> Params:
     """Map an HF ``CLIPModel`` state dict onto our pytree layout."""
     # Some HF dumps prefix everything with "clip." or store text/vision only.
-    sd = {k.removeprefix("clip."): v for k, v in sd.items()}
+    if any(k.startswith("clip.") for k in sd):
+        sd = {k.removeprefix("clip."): v for k, v in sd.items()}
 
     p = cfg.vision.patch_size
     conv_w = sd["vision_model.embeddings.patch_embedding.weight"]

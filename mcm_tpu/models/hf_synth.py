@@ -1,0 +1,136 @@
+"""Deterministic synthesized HF ``CLIPModel`` state dicts.
+
+Real ``openai/clip-vit-*`` weights cannot enter this environment (zero
+egress), so converter/architecture parity at scale is proven with
+*synthesized* checkpoints instead: this module enumerates the exact key
+set + shapes of an HF ``CLIPModel`` state dict (verified against
+transformers 4.57, including the famously misspelled
+``vision_model.pre_layrnorm``) and fills it with values that are a pure
+deterministic function of ``(key, seed)`` — reproducible from numpy alone,
+with no torch/transformers dependency and no key-iteration-order
+sensitivity.
+
+Two consumers:
+
+* ``tools/parity_check.py record-synth`` loads a synthesized dict into a
+  real HF ``CLIPModel`` (strict) and records per-layer activation goldens —
+  run once where torch exists; the goldens are committed.
+* ``tests/test_golden_parity.py`` regenerates the same dict, converts it
+  with :func:`mcm_tpu.models.convert.convert_hf_clip`, runs our towers,
+  and asserts against the committed goldens — catching any converter
+  key-mapping or architecture regression without real weights.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Dict, Tuple
+
+import numpy as np
+
+from mcm_tpu.config import CLIPConfig
+
+
+def golden_config() -> CLIPConfig:
+    """The committed-golden model: mid-size (6 layers / 384 wide / 224²-16)
+    so real-scale subtleties (197-token sequences, pre-LN, EOT pooling)
+    are exercised while the golden file stays a few MB."""
+    from mcm_tpu.config import TextConfig, VisionConfig
+    return CLIPConfig(
+        name="synth-6L384",
+        vision=VisionConfig(image_size=224, patch_size=16, width=384,
+                            layers=6, heads=6, projection_dim=384),
+        text=TextConfig(vocab_size=1000, context_length=77, width=384,
+                        layers=6, heads=6, projection_dim=384))
+
+
+def hf_clip_key_shapes(cfg: CLIPConfig) -> Dict[str, Tuple[int, ...]]:
+    """Every key of ``CLIPModel(cfg).state_dict()`` with its shape."""
+    v, t = cfg.vision, cfg.text
+    shapes: Dict[str, Tuple[int, ...]] = {
+        "logit_scale": (),
+        "text_model.embeddings.token_embedding.weight":
+            (t.vocab_size, t.width),
+        "text_model.embeddings.position_embedding.weight":
+            (t.context_length, t.width),
+        "text_model.final_layer_norm.weight": (t.width,),
+        "text_model.final_layer_norm.bias": (t.width,),
+        "text_projection.weight": (cfg.embed_dim, t.width),
+        "vision_model.embeddings.class_embedding": (v.width,),
+        "vision_model.embeddings.patch_embedding.weight":
+            (v.width, 3, v.patch_size, v.patch_size),
+        "vision_model.embeddings.position_embedding.weight":
+            ((v.image_size // v.patch_size) ** 2 + 1, v.width),
+        "vision_model.pre_layrnorm.weight": (v.width,),   # sic — HF typo
+        "vision_model.pre_layrnorm.bias": (v.width,),
+        "vision_model.post_layernorm.weight": (v.width,),
+        "vision_model.post_layernorm.bias": (v.width,),
+        "visual_projection.weight": (cfg.embed_dim, v.width),
+    }
+    for tower, tc in (("vision_model", v), ("text_model", t)):
+        d, m = tc.width, tc.width * tc.mlp_ratio
+        for i in range(tc.layers):
+            pre = f"{tower}.encoder.layers.{i}"
+            for ln in ("layer_norm1", "layer_norm2"):
+                shapes[f"{pre}.{ln}.weight"] = (d,)
+                shapes[f"{pre}.{ln}.bias"] = (d,)
+            for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                shapes[f"{pre}.self_attn.{proj}.weight"] = (d, d)
+                shapes[f"{pre}.self_attn.{proj}.bias"] = (d,)
+            shapes[f"{pre}.mlp.fc1.weight"] = (m, d)
+            shapes[f"{pre}.mlp.fc1.bias"] = (m,)
+            shapes[f"{pre}.mlp.fc2.weight"] = (d, m)
+            shapes[f"{pre}.mlp.fc2.bias"] = (d,)
+    return shapes
+
+
+def _value_for(key: str, shape: Tuple[int, ...], seed: int) -> np.ndarray:
+    rng = np.random.default_rng([seed, zlib.crc32(key.encode())])
+    if key == "logit_scale":
+        return np.float32(np.log(1.0 / 0.07))
+    leaf = key.rsplit(".", 1)[-1]
+    norm_like = ("layer_norm" in key or "layernorm" in key
+                 or "layrnorm" in key)
+    if norm_like:
+        if leaf == "weight":
+            return (1.0 + 0.1 * rng.standard_normal(shape)).astype(np.float32)
+        return (0.02 * rng.standard_normal(shape)).astype(np.float32)
+    if leaf == "bias":
+        return (0.02 * rng.standard_normal(shape)).astype(np.float32)
+    # weight scale chosen so 6-layer activations stay O(1) without LN rescue
+    return (0.03 * rng.standard_normal(shape)).astype(np.float32)
+
+
+def synth_hf_clip_state_dict(cfg: CLIPConfig,
+                             seed: int = 0) -> Dict[str, np.ndarray]:
+    """A full, shape-exact HF CLIP state dict with deterministic values."""
+    return {k: _value_for(k, s, seed)
+            for k, s in hf_clip_key_shapes(cfg).items()}
+
+
+def probe_inputs(seed: int = 0, batch: int = 8, n_prompts: int = 16,
+                 image_size: int = 224, context: int = 77,
+                 vocab_size: int = 49408):
+    """Deterministic synthetic pixels (NCHW fp32) + token ids + mask —
+    shared by the golden recorder and the parity tests so both sides see
+    byte-identical inputs."""
+    rng = np.random.default_rng(seed)
+    pixels = rng.standard_normal((batch, 3, image_size,
+                                  image_size)).astype(np.float32)
+    ids = rng.integers(1, vocab_size - 2,
+                       size=(n_prompts, context)).astype(np.int64)
+    lengths = rng.integers(5, context, size=n_prompts)
+    mask = np.zeros_like(ids)
+    ids[:, 0] = vocab_size - 2          # BOS
+    for r, L in enumerate(lengths):
+        ids[r, L - 1] = vocab_size - 1  # EOT (largest id)
+        ids[r, L:] = vocab_size - 1     # pad-with-EOT (HF convention)
+        mask[r, :L] = 1
+    return pixels, ids, mask
+
+
+def golden_probe_inputs(cfg: CLIPConfig):
+    return probe_inputs(batch=2, n_prompts=4,
+                        image_size=cfg.vision.image_size,
+                        context=cfg.text.context_length,
+                        vocab_size=cfg.text.vocab_size)

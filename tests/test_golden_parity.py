@@ -1,0 +1,137 @@
+"""Committed-golden parity: our towers + converter vs recorded HF outputs.
+
+The golden file ``tests/goldens/clip_synth_6l384.npz`` was produced by
+``tools/parity_check.py record-synth``: a *synthesized* deterministic HF
+state dict (``mcm_tpu.models.hf_synth``) loaded strictly into a real HF
+``CLIPModel`` whose per-layer hidden states and final features were
+recorded.  These tests regenerate the identical state dict from numpy
+alone, convert it with the production converter, run our JAX towers, and
+compare — so any converter key-mapping or architecture regression at
+real-model structure (197-token vision sequences, pre-LN, EOT pooling,
+QuickGELU) is caught without torch, transformers, or real weights
+(VERDICT r1 item 4).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+GOLDENS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "goldens", "clip_synth_6l384.npz")
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return np.load(GOLDENS)
+
+
+@pytest.fixture(scope="module")
+def ours(golden):
+    """Run our towers once on the golden probe inputs."""
+    import jax.numpy as jnp
+
+    from mcm_tpu.config import Precision
+    from mcm_tpu.models import clip as jclip
+    from mcm_tpu.models.convert import convert_hf_clip
+    from mcm_tpu.models.hf_synth import (golden_config, golden_probe_inputs,
+                                         synth_hf_clip_state_dict)
+
+    cfg = golden_config()
+    params = convert_hf_clip(
+        synth_hf_clip_state_dict(cfg, seed=int(golden["seed"])), cfg)
+    pixels, ids, mask = golden_probe_inputs(cfg)
+    prec = Precision.parity()
+    img, vh = jclip.encode_image(params, cfg.vision, jnp.asarray(pixels),
+                                 prec, collect_hidden=True)
+    txt, th = jclip.encode_text(params, cfg.text,
+                                jnp.asarray(ids, jnp.int32),
+                                jnp.asarray(mask, jnp.int32), prec,
+                                collect_hidden=True)
+    return (np.asarray(img, np.float32), np.asarray(vh, np.float32),
+            np.asarray(txt, np.float32), np.asarray(th, np.float32))
+
+
+def _max_rel(ours, ref):
+    return np.abs(ours - ref).max() / (np.abs(ref).max() + 1e-12)
+
+
+def test_per_layer_vision_hiddens(golden, ours):
+    _, vh, _, _ = ours
+    ref = golden["vision_hiddens"]          # [L+1, 2, 48, 384]
+    s = int(golden["slice"])
+    assert vh.shape[0] == ref.shape[0]
+    for layer in range(ref.shape[0]):
+        rel = _max_rel(vh[layer, :, :s], ref[layer])
+        assert rel < 5e-4, f"vision hidden {layer}: max rel err {rel:.2e}"
+
+
+def test_per_layer_text_hiddens(golden, ours):
+    _, _, _, th = ours
+    ref = golden["text_hiddens"]
+    s = int(golden["slice"])
+    for layer in range(ref.shape[0]):
+        rel = _max_rel(th[layer, :, :s], ref[layer])
+        assert rel < 5e-4, f"text hidden {layer}: max rel err {rel:.2e}"
+
+
+def test_final_features_and_scores(golden, ours):
+    img, _, txt, _ = ours
+    assert _max_rel(img, golden["image_features"]) < 5e-4
+    assert _max_rel(txt, golden["text_features"]) < 5e-4
+
+    imgn = img / np.linalg.norm(img, axis=-1, keepdims=True)
+    txtn = txt / np.linalg.norm(txt, axis=-1, keepdims=True)
+    logits = imgn @ txtn.T
+    e = np.exp(logits - logits.max(1, keepdims=True))
+    mcm = -(e / e.sum(1, keepdims=True)).max(1)
+    np.testing.assert_allclose(mcm, golden["mcm"], atol=1e-5)
+
+
+def test_full_b16_converter_consumes_every_key():
+    """Shape-exact full-size B/16 state dict through the converter: every
+    key must be read (a dropped/renamed key would silently zero a tensor
+    at real scale) and the pytree must carry the exact shapes."""
+    from mcm_tpu.config import clip_vit_b16
+    from mcm_tpu.models.convert import convert_hf_clip
+    from mcm_tpu.models.hf_synth import hf_clip_key_shapes, \
+        synth_hf_clip_state_dict
+
+    cfg = clip_vit_b16()
+    sd = synth_hf_clip_state_dict(cfg, seed=1)
+    accessed = set()
+
+    class Tracking(dict):
+        def __getitem__(self, k):
+            accessed.add(k)
+            return dict.__getitem__(self, k)
+
+    params = convert_hf_clip(Tracking(sd), cfg)
+    missing = set(sd) - accessed
+    assert not missing, f"converter never read: {sorted(missing)[:8]}"
+
+    v, t = cfg.vision, cfg.text
+    assert params["vision"]["patch_embed"].shape == (
+        v.patch_size * v.patch_size * 3, v.width)
+    assert params["vision"]["pre_ln"]["scale"].shape == (v.width,)
+    assert params["vision"]["layers"]["attn"]["wq"].shape == (
+        v.layers, v.width, v.width)
+    assert params["vision"]["layers"]["mlp"]["w1"].shape == (
+        v.layers, v.width, v.width * v.mlp_ratio)
+    assert params["vision"]["proj"].shape == (v.width, cfg.embed_dim)
+    assert params["text"]["token_emb"].shape == (t.vocab_size, t.width)
+    assert params["text"]["pos_emb"].shape == (t.context_length, t.width)
+    assert params["text"]["layers"]["attn"]["wo"].shape == (
+        t.layers, t.width, t.width)
+    assert params["text"]["proj"].shape == (t.width, cfg.embed_dim)
+    assert params["logit_scale"].shape == ()
+
+
+def test_synth_key_set_matches_recorded_transformers():
+    """The synthesized key inventory was verified by a strict
+    ``load_state_dict`` into transformers 4.57 at record time; keep the
+    count pinned so accidental edits to hf_synth are loud."""
+    from mcm_tpu.models.hf_synth import golden_config, hf_clip_key_shapes
+    shapes = hf_clip_key_shapes(golden_config())
+    assert len(shapes) == 206
+    assert "vision_model.pre_layrnorm.weight" in shapes  # sic

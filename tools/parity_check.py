@@ -30,22 +30,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def probe_inputs(seed: int = 0, batch: int = 8, n_prompts: int = 16,
-                 image_size: int = 224, context: int = 77,
-                 vocab_size: int = 49408):
-    rng = np.random.default_rng(seed)
-    pixels = rng.standard_normal((batch, 3, image_size,
-                                  image_size)).astype(np.float32)
-    ids = rng.integers(1, vocab_size - 2,
-                       size=(n_prompts, context)).astype(np.int64)
-    lengths = rng.integers(5, context, size=n_prompts)
-    mask = np.zeros_like(ids)
-    ids[:, 0] = vocab_size - 2          # BOS
-    for r, L in enumerate(lengths):
-        ids[r, L - 1] = vocab_size - 1  # EOT (largest id)
-        ids[r, L:] = vocab_size - 1     # pad-with-EOT (HF convention)
-        mask[r, :L] = 1
-    return pixels, ids, mask
+from mcm_tpu.models.hf_synth import (golden_probe_inputs,  # noqa: E402
+                                     probe_inputs)
 
 
 def record(args):
@@ -69,6 +55,75 @@ def record(args):
     np.savez(args.out, image_features=img, text_features=txt, mcm=mcm,
              ckpt=args.ckpt)
     print(f"recorded goldens for {args.ckpt} -> {args.out}")
+
+
+GOLDEN_SLICE = 48  # per-layer hiddens are stored for the first 48 tokens
+
+
+def record_synth(args):
+    """Record per-layer goldens for the synthesized mid-size model through
+    the REAL HF CLIPModel (torch needed once, here).  The committed golden +
+    tests/test_golden_parity.py then pin converter/architecture parity in CI
+    with no torch dependency (VERDICT r1 item 4)."""
+    import torch
+    import transformers
+
+    from mcm_tpu.models.hf_synth import golden_config, synth_hf_clip_state_dict
+
+    cfg = golden_config()
+    sd = synth_hf_clip_state_dict(cfg, seed=args.seed)
+    hf_cfg = transformers.CLIPConfig(
+        vision_config=dict(
+            image_size=cfg.vision.image_size,
+            patch_size=cfg.vision.patch_size,
+            hidden_size=cfg.vision.width,
+            num_hidden_layers=cfg.vision.layers,
+            num_attention_heads=cfg.vision.heads,
+            intermediate_size=cfg.vision.width * cfg.vision.mlp_ratio,
+            hidden_act="quick_gelu"),
+        text_config=dict(
+            vocab_size=cfg.text.vocab_size,
+            max_position_embeddings=cfg.text.context_length,
+            hidden_size=cfg.text.width,
+            num_hidden_layers=cfg.text.layers,
+            num_attention_heads=cfg.text.heads,
+            intermediate_size=cfg.text.width * cfg.text.mlp_ratio,
+            hidden_act="quick_gelu",
+            # EOT = largest id (OpenAI convention); HF pools the FIRST
+            # occurrence, our argmax pooling likewise — keep them aligned
+            eos_token_id=cfg.text.vocab_size - 1),
+        projection_dim=cfg.embed_dim)
+    model = transformers.CLIPModel(hf_cfg)
+    model.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+        strict=True)
+    model.eval()
+
+    pixels, ids, mask = golden_probe_inputs(cfg)
+    with torch.no_grad():
+        vout = model.vision_model(pixel_values=torch.from_numpy(pixels),
+                                  output_hidden_states=True)
+        tout = model.text_model(input_ids=torch.from_numpy(ids),
+                                attention_mask=torch.from_numpy(mask),
+                                output_hidden_states=True)
+        img = model.get_image_features(
+            pixel_values=torch.from_numpy(pixels)).numpy()
+        txt = model.get_text_features(
+            input_ids=torch.from_numpy(ids),
+            attention_mask=torch.from_numpy(mask)).numpy()
+    vh = np.stack([h.numpy()[:, :GOLDEN_SLICE] for h in vout.hidden_states])
+    th = np.stack([h.numpy()[:, :GOLDEN_SLICE] for h in tout.hidden_states])
+    imgn = img / np.linalg.norm(img, axis=-1, keepdims=True)
+    txtn = txt / np.linalg.norm(txt, axis=-1, keepdims=True)
+    logits = imgn @ txtn.T
+    e = np.exp(logits - logits.max(1, keepdims=True))
+    mcm = -(e / e.sum(1, keepdims=True)).max(1)
+    np.savez_compressed(
+        args.out, vision_hiddens=vh, text_hiddens=th, image_features=img,
+        text_features=txt, mcm=mcm, seed=args.seed, slice=GOLDEN_SLICE,
+        transformers_version=str(__import__("transformers").__version__))
+    print(f"recorded synth goldens (seed {args.seed}) -> {args.out}: "
+          f"vision_hiddens {vh.shape}, text_hiddens {th.shape}")
 
 
 def check(args):
@@ -129,8 +184,12 @@ def main():
     pc.add_argument("--goldens", required=True)
     pc.add_argument("--ckpt-dir", default=None)
     pc.add_argument("--precision", default="parity")
+    ps = sub.add_parser("record-synth")
+    ps.add_argument("--seed", default=0, type=int)
+    ps.add_argument("--out", default="tests/goldens/clip_synth_6l384.npz")
     args = p.parse_args()
-    record(args) if args.mode == "record" else check(args)
+    {"record": record, "check": check,
+     "record-synth": record_synth}[args.mode](args)
 
 
 if __name__ == "__main__":
