@@ -51,7 +51,8 @@ class DataPipeline:
     def __init__(self, dataset, batch_size: int, image_size: int = 224,
                  num_workers: Optional[int] = None, prefetch: int = 2,
                  drop_remainder: bool = False, use_native: bool = True,
-                 fast_decode: bool = False):
+                 fast_decode: bool = False,
+                 stripe: Optional[tuple] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.image_size = image_size
@@ -63,6 +64,20 @@ class DataPipeline:
             from mcm_tpu.runtime.native import native_available
             use_native = native_available()
         self.use_native = use_native
+        # Multi-host: this process decodes only its contiguous stripe of
+        # every global batch (parallel/multihost.py scheme); every process
+        # still iterates the same number of (lockstep) batches.  ``valid``
+        # stays the GLOBAL count — stripe-local padding is resolved by
+        # ``assemble_global_outputs`` after readback.
+        if stripe is None:
+            import jax
+            if jax.process_count() > 1:
+                from mcm_tpu.parallel.multihost import batch_stripe
+                stripe = batch_stripe(batch_size)
+            else:
+                stripe = (0, batch_size)
+        self.stripe = stripe
+        self.local_batch_size = stripe[1] - stripe[0]
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -78,14 +93,18 @@ class DataPipeline:
 
     def _decode_batch(self, lo: int, hi: int) -> Batch:
         size = self.image_size
+        s_lo, s_hi = self.stripe
+        local_lo = min(lo + s_lo, hi)   # this process's rows of the batch
+        local_hi = min(lo + s_hi, hi)
         paths: List[str] = []
-        labels = np.zeros((self.batch_size,), dtype=np.int32)
-        for row, i in enumerate(range(lo, hi)):
+        labels = np.zeros((self.local_batch_size,), dtype=np.int32)
+        for row, i in enumerate(range(local_lo, local_hi)):
             path, label = self.dataset[i]
             paths.append(path)
             labels[row] = label
 
-        images = np.zeros((self.batch_size, size, size, 3), dtype=np.uint8)
+        images = np.zeros((self.local_batch_size, size, size, 3),
+                          dtype=np.uint8)
         todo = list(range(len(paths)))
         if self.use_native:
             from mcm_tpu.runtime.native import decode_batch
@@ -107,11 +126,11 @@ class DataPipeline:
                 for i in todo:
                     images[i] = load_image_uint8(paths[i], size)
 
-        valid = hi - lo
-        if valid:  # replicate last real row into padding rows
-            images[valid:] = images[valid - 1]
-            labels[valid:] = labels[valid - 1]
-        return Batch(images, labels, valid)
+        local_valid = local_hi - local_lo
+        if local_valid:  # replicate last real row into padding rows
+            images[local_valid:] = images[local_valid - 1]
+            labels[local_valid:] = labels[local_valid - 1]
+        return Batch(images, labels, hi - lo)  # valid = GLOBAL count
 
     # -- iteration ------------------------------------------------------------
 

@@ -143,18 +143,21 @@ class EvalStep:
         self.replicated = repl
         self.param_shardings = param_sh
 
-    # -- device placement helpers -------------------------------------------
+    # -- device placement helpers (multi-host aware, see parallel.multihost) --
 
     def put_params(self, params):
+        from mcm_tpu.parallel.multihost import put_global
         return jax.tree_util.tree_map(
-            lambda x, s: jax.device_put(jnp.asarray(x), s), params,
+            lambda x, s: put_global(jnp.asarray(x), s), params,
             self.param_shardings)
 
     def put_batch(self, images_u8: np.ndarray) -> jax.Array:
-        return jax.device_put(images_u8, self.batch_sharding)
+        from mcm_tpu.parallel.multihost import make_global_batch
+        return make_global_batch(self.mesh, images_u8)
 
     def put_replicated(self, x) -> jax.Array:
-        return jax.device_put(jnp.asarray(x), self.replicated)
+        from mcm_tpu.parallel.multihost import put_global
+        return put_global(jnp.asarray(x), self.replicated)
 
     # -- compiled entry points ------------------------------------------------
 
@@ -271,14 +274,17 @@ class VitLinearStep:
         self.replicated = repl
 
     def put_params(self, params):
-        return jax.device_put(
-            jax.tree_util.tree_map(jnp.asarray, params), self.replicated)
+        from mcm_tpu.parallel.multihost import put_global
+        return jax.tree_util.tree_map(
+            lambda x: put_global(jnp.asarray(x), self.replicated), params)
 
     def put_batch(self, images_u8: np.ndarray) -> jax.Array:
-        return jax.device_put(images_u8, self.batch_sharding)
+        from mcm_tpu.parallel.multihost import make_global_batch
+        return make_global_batch(self.mesh, images_u8)
 
     def put_replicated(self, x) -> jax.Array:
-        return jax.device_put(jnp.asarray(x), self.replicated)
+        from mcm_tpu.parallel.multihost import put_global
+        return put_global(jnp.asarray(x), self.replicated)
 
     def score(self, params, images_u8, text_feats=None) -> jax.Array:
         return self._score(params, images_u8)

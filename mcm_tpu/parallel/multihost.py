@@ -1,23 +1,32 @@
-"""Multi-host feeding helpers.
+"""Multi-host feeding + gathering, integrated into the runner.
 
-Single-host v5e-8 needs none of this (BASELINE.md north star); on multi-host
-pods each process holds only its local devices, so globally-sharded batch
-arrays must be assembled from per-host shards.  These helpers wrap the
-canonical JAX recipe (``jax.make_array_from_process_local_data``) so the
-runner's scoring loop is host-count-agnostic:
+Single-host v5e-8 needs none of this (BASELINE.md north star); on
+multi-host pods each process holds only its local devices, so the runner
+must (a) feed per-host slices that assemble into globally-ordered batches,
+(b) read back only addressable shards, and (c) reassemble dataset-order
+score arrays at the end.  The scheme:
 
-* each host's pipeline iterates ITS contiguous slice of the dataset
-  (``host_shard_range``), keeping global score order = dataset order;
-* ``make_global_batch`` lifts the local uint8 batch into a global array
-  sharded over the data axis.
+* every process executes the SAME number of jitted steps (SPMD lockstep):
+  global batch ``i`` covers dataset rows ``[i·B, (i+1)·B)`` and process
+  ``h`` decodes its contiguous *stripe* ``[i·B + h·b, i·B + (h+1)·b)``
+  (``b = B / process_count``, :func:`batch_stripe`);
+* :func:`make_global_batch` lifts the local stripe into a data-axis-sharded
+  global array (mesh device order is process-major, so stripes land on the
+  holder's own devices and the global array is in dataset order);
+* :func:`read_local` pulls back a process's addressable rows of a sharded
+  output;
+* :func:`assemble_global_outputs` allgathers the per-host stripe stacks and
+  interleaves them back into dataset order (pure-numpy
+  :func:`interleave_process_stripes`, unit-tested single-host), then drops
+  tail padding exactly like ``collect_scores``.
 
-Untestable on this single-host environment — exercised only when
-``jax.process_count() > 1``; the logic degrades to identity on one host.
+Every function degenerates to the single-process fast path, so the runner
+is host-count-agnostic by construction.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import numpy as np
@@ -27,8 +36,10 @@ from mcm_tpu.parallel.mesh import DATA_AXIS
 
 
 def host_shard_range(n_samples: int) -> Tuple[int, int]:
-    """This process's contiguous [lo, hi) slice of the dataset (equal-ish
-    split by process index; last host takes the remainder)."""
+    """This process's contiguous [lo, hi) slice of a dataset (equal-ish
+    split by process index; last host takes the remainder).  Used for
+    dataset-level work splits (e.g. feature extraction sweeps); the batch
+    hot loop uses :func:`batch_stripe` instead so steps stay lockstep."""
     n_proc = jax.process_count()
     idx = jax.process_index()
     per = n_samples // n_proc
@@ -37,11 +48,73 @@ def host_shard_range(n_samples: int) -> Tuple[int, int]:
     return lo, hi
 
 
+def batch_stripe(global_batch_size: int,
+                 process_index: Optional[int] = None,
+                 process_count: Optional[int] = None) -> Tuple[int, int]:
+    """This process's [lo, hi) stripe within every global batch."""
+    n = process_count if process_count is not None else jax.process_count()
+    idx = process_index if process_index is not None else jax.process_index()
+    if global_batch_size % n:
+        raise ValueError(f"batch size {global_batch_size} not divisible by "
+                         f"process count {n}")
+    b = global_batch_size // n
+    return idx * b, (idx + 1) * b
+
+
 def make_global_batch(mesh: Mesh, local_batch: np.ndarray) -> jax.Array:
-    """Assemble a data-axis-sharded global array from per-host batches.
+    """Assemble a data-axis-sharded global array from per-host stripes.
 
     On one process this is just a device_put with the batch sharding."""
     sharding = NamedSharding(mesh, P(DATA_AXIS))
     if jax.process_count() == 1:
         return jax.device_put(local_batch, sharding)
     return jax.make_array_from_process_local_data(sharding, local_batch)
+
+
+def put_global(x, sharding) -> jax.Array:
+    """device_put that works for replicated/sharded values on any host
+    count.  Multi-host: every process passes its full host-local copy and
+    each device takes its slice (replicated params / TP shards / text
+    features are identical on all hosts)."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: x[idx])
+
+
+def read_local(x) -> np.ndarray:
+    """Host copy of this process's rows of a (possibly global) array."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    shards = sorted(x.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
+def interleave_process_stripes(stacked: np.ndarray) -> np.ndarray:
+    """[n_proc, n_batches, b, ...] → [n_batches, n_proc·b, ...]: undo the
+    per-batch striping so rows are in dataset order again."""
+    n_proc, n_batches, b = stacked.shape[:3]
+    out = stacked.transpose(1, 0, 2, *range(3, stacked.ndim))
+    return out.reshape(n_batches, n_proc * b, *stacked.shape[3:])
+
+
+def assemble_global_outputs(outs: Sequence[np.ndarray],
+                            valids: Sequence[int], total: int) -> np.ndarray:
+    """Per-batch host-local outputs → global dataset-order array.
+
+    ``outs[i]`` is this process's rows of batch ``i`` (the full batch on a
+    single host).  Mirrors ``collect_scores`` semantics: per-batch ``valids``
+    rows kept, concatenated, truncated to ``total``."""
+    if not outs:
+        return np.zeros((0,), dtype=np.float32)
+    local = np.stack([np.asarray(o) for o in outs])  # [n_batches, b, ...]
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        stacked = np.asarray(multihost_utils.process_allgather(local))
+    else:
+        stacked = local[None]
+    full = interleave_process_stripes(stacked)       # [n_batches, B, ...]
+    parts = [full[i, :v] for i, v in enumerate(valids)]
+    return np.concatenate(parts, axis=0)[:total].copy()

@@ -25,9 +25,10 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from mcm_tpu.config import CLIP_CONFIGS, resolve_precision
-from mcm_tpu.data import (DataPipeline, collect_scores, default_out_datasets,
+from mcm_tpu.data import (DataPipeline, default_out_datasets,
                           get_test_labels, set_ood_loader, set_train_loader,
                           set_val_loader)
+from mcm_tpu.parallel.multihost import assemble_global_outputs
 from mcm_tpu.metrics import get_measures, print_measures
 from mcm_tpu.models.convert import resolve_clip_params
 from mcm_tpu.models.init import init_clip
@@ -258,9 +259,10 @@ class _StreamReadback:
         return self.out
 
     def _drain(self, limit: int) -> None:
+        from mcm_tpu.parallel.multihost import read_local
         while len(self._pending) > limit:
             with self._tel.stage("readback"):
-                self.out.append(np.asarray(self._pending.pop(0)))
+                self.out.append(read_local(self._pending.pop(0)))
 
 
 def _make_pipe(dataset, cfg: RunConfig,
@@ -290,20 +292,22 @@ def score_dataset(step: EvalStep, params, dataset, text_feats,
 
     total = (len(pipe) * cfg.batch_size if drop_remainder
              else pipe.num_samples)
-    return collect_scores(outs, valids, min(total, sum(valids)))
+    return assemble_global_outputs(outs, valids, min(total, sum(valids)))
 
 
 def extract_features(step: EvalStep, params, dataset, cfg: RunConfig
                      ) -> tuple:
     """All image features + labels for a dataset (Mahalanobis templates)."""
     stream = _StreamReadback()
+    pipe = _make_pipe(dataset, cfg)
     valids, labels = [], []
-    for batch in _make_pipe(dataset, cfg):
+    for batch in pipe:
         stream.push(step.features(params, step.put_batch(batch.images)))
         valids.append(batch.valid)
-        labels.append(batch.labels[:batch.valid])
-    feats = [f[:v] for f, v in zip(stream.finish(), valids)]
-    return np.concatenate(feats), np.concatenate(labels)
+        labels.append(batch.labels)
+    total = min(pipe.num_samples, sum(valids))
+    feats = assemble_global_outputs(stream.finish(), valids, total)
+    return feats, assemble_global_outputs(labels, valids, total)
 
 
 def _maha_templates(cfg: RunConfig, step: EvalStep, params, log):
@@ -348,7 +352,8 @@ def maha_score_dataset(step: EvalStep, params, dataset, mu, prec,
         stream.push(step.maha(f, mu, prec, normalize=cfg.normalize))
         valids.append(batch.valid)
     total = len(pipe) * cfg.batch_size if drop else pipe.num_samples
-    return collect_scores(stream.finish(), valids, min(total, sum(valids)))
+    return assemble_global_outputs(stream.finish(), valids,
+                                   min(total, sum(valids)))
 
 
 def _id_features_cached(step, params, val_ds, cfg: RunConfig, log,
