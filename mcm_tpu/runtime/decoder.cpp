@@ -64,11 +64,17 @@ bool decode_jpeg(const char* path, int out_size, bool fast,
   cinfo.out_color_space = JCS_RGB;
 
   if (fast && out_size > 0) {
+    // Smallest M/8 DCT-domain prescale keeping the shorter side >= target
+    // (libjpeg supports any M in 1..16; DCT-domain scaling is a proper
+    // low-pass, the triangle filter finishes the remaining <=12.5%).
     const int shorter = std::min<int>(cinfo.image_width, cinfo.image_height);
-    int denom = 1;
-    while (denom < 8 && shorter / (denom * 2) >= 2 * out_size) denom *= 2;
-    cinfo.scale_num = 1;
-    cinfo.scale_denom = denom;
+    int M = 8;
+    while (M > 1 &&
+           static_cast<long>(shorter) * (M - 1) / 8 >= out_size) --M;
+    cinfo.scale_num = M;
+    cinfo.scale_denom = 8;
+    cinfo.dct_method = JDCT_IFAST;       // SIMD fast IDCT
+    cinfo.do_fancy_upsampling = FALSE;   // the downfilter erases the diff
   }
 
   jpeg_start_decompress(&cinfo);
@@ -178,15 +184,24 @@ void resize_crop(const std::vector<unsigned char>& src, int w, int h,
     return;
   }
 
-  // horizontal pass: w -> ow  (rows stay h)
+  // The crop windows are known up front, so the horizontal pass computes
+  // ONLY the cropped column window (same filter weights → bit-identical to
+  // cropping afterwards) and the vertical pass runs as contiguous weighted
+  // row accumulation (auto-vectorizes; the strided per-pixel gather it
+  // replaces was the pass's cache bottleneck).
+  const int top = static_cast<int>(python_round_half((oh - size) / 2.0));
+  const int left = static_cast<int>(python_round_half((ow - size) / 2.0));
+
+  // horizontal pass: w -> columns [left, left+size) of the ow-wide resize
   Filter fh = build_filter(w, ow);
-  std::vector<float> tmp(static_cast<size_t>(ow) * h * 3);
+  std::vector<float> tmp(static_cast<size_t>(size) * h * 3);
   for (int y = 0; y < h; ++y) {
     const unsigned char* row = src.data() + static_cast<size_t>(y) * w * 3;
-    float* trow = tmp.data() + static_cast<size_t>(y) * ow * 3;
-    for (int x = 0; x < ow; ++x) {
-      const float* wts = &fh.weights[static_cast<size_t>(x) * fh.max_len];
-      const int x0 = fh.xmin[x], n = fh.xlen[x];
+    float* trow = tmp.data() + static_cast<size_t>(y) * size * 3;
+    for (int x = 0; x < size; ++x) {
+      const int ox = left + x;
+      const float* wts = &fh.weights[static_cast<size_t>(ox) * fh.max_len];
+      const int x0 = fh.xmin[ox], n = fh.xlen[ox];
       float r = 0.f, g = 0.f, b = 0.f;
       for (int j = 0; j < n; ++j) {
         const unsigned char* px = row + (x0 + j) * 3;
@@ -200,29 +215,22 @@ void resize_crop(const std::vector<unsigned char>& src, int w, int h,
     }
   }
 
-  // vertical pass h -> oh, writing only the cropped window
+  // vertical pass h -> rows [top, top+size), accumulating whole rows
   Filter fv = build_filter(h, oh);
-  const int top = static_cast<int>(python_round_half((oh - size) / 2.0));
-  const int left = static_cast<int>(python_round_half((ow - size) / 2.0));
+  const int row_elems = size * 3;
+  std::vector<float> acc(row_elems);
   for (int y = 0; y < size; ++y) {
     const int oy = top + y;
     const float* wts = &fv.weights[static_cast<size_t>(oy) * fv.max_len];
     const int y0 = fv.xmin[oy], n = fv.xlen[oy];
-    unsigned char* orow = out + static_cast<size_t>(y) * size * 3;
-    for (int x = 0; x < size; ++x) {
-      const int ox = left + x;
-      float r = 0.f, g = 0.f, b = 0.f;
-      for (int j = 0; j < n; ++j) {
-        const float* px =
-            tmp.data() + (static_cast<size_t>(y0 + j) * ow + ox) * 3;
-        r += wts[j] * px[0];
-        g += wts[j] * px[1];
-        b += wts[j] * px[2];
-      }
-      orow[x * 3] = clamp_u8(r);
-      orow[x * 3 + 1] = clamp_u8(g);
-      orow[x * 3 + 2] = clamp_u8(b);
+    std::fill(acc.begin(), acc.end(), 0.f);
+    for (int j = 0; j < n; ++j) {
+      const float wj = wts[j];
+      const float* srow = tmp.data() + static_cast<size_t>(y0 + j) * row_elems;
+      for (int k = 0; k < row_elems; ++k) acc[k] += wj * srow[k];
     }
+    unsigned char* orow = out + static_cast<size_t>(y) * row_elems;
+    for (int k = 0; k < row_elems; ++k) orow[k] = clamp_u8(acc[k]);
   }
 }
 
