@@ -1,0 +1,95 @@
+"""Epoch-level CLIP fine-tuning loop: data pipeline, shuffling, checkpoints.
+
+Round 1 shipped only the sharded train *step* (``contrastive.py``); this is
+the loop that makes it a usable trainer: per-epoch seeded shuffling over the
+(path, label) dataset, static-shape batches through the same native decode
+pipeline the evaluator uses (``drop_remainder`` keeps one compiled step),
+caption prompts built from class names ("a photo of a {c}" — the text pair
+the zero-shot evaluator will score with), and per-epoch ``.npz`` checkpoints
+loadable by ``--model CLIP-Linear`` (reference consumption path:
+``/root/reference/utils/train_eval_util.py:24-25``).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from mcm_tpu.config import CLIPConfig, Precision
+from mcm_tpu.data.pipeline import DataPipeline
+from mcm_tpu.train.contrastive import TrainState, make_train_step
+
+
+class ShuffledView:
+    """Zero-copy permuted view of a (path, label) dataset."""
+
+    def __init__(self, dataset, perm: np.ndarray):
+        self.dataset = dataset
+        self.perm = perm
+
+    def __len__(self) -> int:
+        return len(self.perm)
+
+    def __getitem__(self, i: int):
+        return self.dataset[int(self.perm[i])]
+
+
+def train_clip(cfg: CLIPConfig, dataset, class_names: Sequence[str],
+               tokenizer, *, epochs: int = 1, batch_size: int = 64,
+               seed: int = 5, optimizer=None,
+               precision: Precision = Precision.fast(), mesh=None,
+               params=None, num_workers: Optional[int] = None,
+               image_size: Optional[int] = None,
+               ckpt_path: Optional[str] = None,
+               log: Callable[[str], None] = print) -> TrainState:
+    """Fine-tune CLIP contrastively on an ImageFolder-style dataset.
+
+    Each image is paired with the prompt of its class name; batches are
+    reshuffled every epoch (seeded, reproducible).  Returns the final
+    TrainState; if ``ckpt_path`` is set, the params pytree is saved there
+    after every epoch (npz, consumable by ``--model CLIP-Linear``).
+    """
+    import jax
+
+    init_state, train_step = make_train_step(cfg, optimizer=optimizer,
+                                             precision=precision, mesh=mesh)
+    if params is None:
+        from mcm_tpu.models.init import init_clip
+        params = init_clip(jax.random.key(seed), cfg)
+    state = init_state(params)
+
+    prompts = [f"a photo of a {c}" for c in class_names]
+    ids_all, mask_all = tokenizer(prompts, pad_to_multiple=8,
+                                  context_length=cfg.text.context_length)
+    ids_all = np.asarray(ids_all, np.int32)
+    mask_all = np.asarray(mask_all, np.int32)
+
+    rng = np.random.default_rng(seed)
+    n = len(dataset)
+    if n < batch_size:
+        raise ValueError(f"dataset ({n}) smaller than batch ({batch_size})")
+    size = image_size or cfg.vision.image_size
+    for epoch in range(epochs):
+        pipe = DataPipeline(ShuffledView(dataset, rng.permutation(n)),
+                            batch_size, image_size=size,
+                            num_workers=num_workers, drop_remainder=True)
+        losses = []
+        t0 = time.perf_counter()
+        for batch in pipe:
+            ids = ids_all[batch.labels]
+            mask = mask_all[batch.labels]
+            state, loss = train_step(state, batch.images, ids, mask)
+            losses.append(loss)
+        mean_loss = float(np.mean([np.asarray(l) for l in losses]))
+        log(f"epoch {epoch + 1}/{epochs}: loss {mean_loss:.4f}  "
+            f"({len(losses)} steps, {time.perf_counter() - t0:.1f}s)")
+        if not np.isfinite(mean_loss):
+            raise FloatingPointError(f"non-finite loss at epoch {epoch + 1}")
+        if ckpt_path:
+            from mcm_tpu.models.convert import save_params
+            host = jax.tree_util.tree_map(np.asarray, state.params)
+            save_params(host, ckpt_path)
+            log(f"checkpoint -> {ckpt_path}")
+    return state
