@@ -106,10 +106,14 @@ def main():
     n_dev = len(jax.devices())
     mesh = make_mesh(n_dev)
     precision = Precision.fast()
-    # experimentation knob: MCM_BENCH_ATTN=pallas|xla|auto
+    # experimentation knobs: MCM_BENCH_ATTN=pallas|pallas_mh|flash|xla,
+    # MCM_BENCH_MLP=pallas|xla
     attn = os.environ.get("MCM_BENCH_ATTN")
     if attn:
         precision = dataclasses.replace(precision, attn_impl=attn)
+    mlp = os.environ.get("MCM_BENCH_MLP")
+    if mlp:
+        precision = dataclasses.replace(precision, mlp_impl=mlp)
     step = EvalStep(cfg, score="MCM", precision=precision, mesh=mesh)
     params = step.put_params(params)
 

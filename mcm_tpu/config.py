@@ -133,9 +133,14 @@ class Precision:
     #: lax matmul precision: "highest" forces true-fp32 MXU passes (parity);
     #: "default" lets fp32 inputs go through bf16x3/bf16 fast paths (speed).
     matmul_precision: str = "default"
-    #: attention implementation: "auto" picks the fused Pallas kernel on TPU
-    #: for unmasked (vision) attention, XLA otherwise; "pallas"/"xla" force.
+    #: attention implementation for unmasked (vision) attention:
+    #: "auto" (currently XLA — measured fastest end-to-end), or force
+    #: "xla" / "pallas" (our full-S kernel) / "pallas_mh" (head-grouped)
+    #: / "flash" (jax's TPU FlashAttention, S padded to 128-multiples).
     attn_impl: str = "auto"
+    #: MLP implementation: "auto"/"xla" (XLA matmuls), or "pallas" — the
+    #: fused fc1→act→fc2 kernel keeping the [B·S, 4D] intermediate in VMEM.
+    mlp_impl: str = "auto"
     #: dtype of the attention probability tensor.  bf16 halves the HBM
     #: traffic of the hot loop's largest intermediate ([B, H, S, S]) —
     #: measured +12% end-to-end on v5e with ~1e-6 MCM-score deviation.

@@ -111,6 +111,16 @@ def transformer_block(x: jax.Array, layer: Params, *, heads: int, eps: float,
     x = x + a
 
     h = layer_norm(x, layer["ln2"]["scale"], layer["ln2"]["bias"], eps)
+    if precision.mlp_impl == "pallas":
+        from mcm_tpu.ops.mlp import fused_mlp
+        cdt = precision.activation_dtype
+        b, s, d = h.shape
+        h = fused_mlp(h.reshape(b * s, d),
+                      layer["mlp"]["w1"].astype(cdt),
+                      layer["mlp"]["b1"],
+                      layer["mlp"]["w2"].astype(cdt),
+                      layer["mlp"]["b2"]).reshape(b, s, d)
+        return x + h
     h = _dense(h, layer["mlp"]["w1"], layer["mlp"]["b1"], precision)
     h = quick_gelu(h)
     h = _dense(h, layer["mlp"]["w2"], layer["mlp"]["b2"], precision)

@@ -64,6 +64,51 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     o_ref[0] = o.astype(o_ref.dtype)
 
 
+def _mh_attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                         heads: int):
+    """All heads of one image per program: the head axis is a LEADING
+    (untiled) block dim, so per-head slices are full [S, Dh] tiles and the
+    fori_loop amortizes program overhead 12× vs a per-(batch·head) grid."""
+
+    def body(h, _):
+        q = (q_ref[0, h].astype(jnp.float32) * scale).astype(q_ref.dtype)
+        logits = jax.lax.dot_general(
+            q, k_ref[0, h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [S, S]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[0, h] = jnp.dot(p.astype(v_ref.dtype), v_ref[0, h],
+                              preferred_element_type=jnp.float32
+                              ).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, heads, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("block_h",))
+def _pallas_mh_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                         block_h: int = 6) -> jax.Array:
+    """Grid over (image, head-group); one program loops its group's heads
+    with the head axis LEADING (untiled), amortizing program overhead
+    ``block_h``× vs a per-(batch·head) grid.  block_h bounds VMEM:
+    4 tensors × 2 pipeline buffers × block_h·S·Dh."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, s, dh = q.shape
+    scale = dh ** -0.5
+    spec = pl.BlockSpec((1, block_h, s, dh), lambda i, j: (i, j, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_mh_attention_kernel, scale=scale, heads=block_h),
+        grid=(b, pl.cdiv(h, block_h)),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, s, dh), q.dtype),
+    )(q, k, v)
+
+
 @functools.partial(jax.jit, static_argnames=("block_q",))
 def _pallas_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                       block_q: int = 256) -> jax.Array:
@@ -97,21 +142,53 @@ def _pallas_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return out.reshape(b, h, s, dh)
 
 
+def _flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """jax's reference TPU FlashAttention at the encoder shape.
+
+    The kernel requires 128-multiple sequence blocks, so S is padded to the
+    next multiple of 128 with segment-ids masking the tail keys (VMEM-cheap:
+    two int32 [B, S_pad] arrays — NOT the [B, H, S, S] ``ab`` bias, which
+    would materialize more HBM traffic than the kernel saves)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, SegmentIds, flash_attention)
+
+    b, h, s, dh = q.shape
+    s_pad = -(-s // 128) * 128
+    pad = s_pad - s
+    if pad:
+        widths = ((0, 0), (0, 0), (0, pad), (0, 0))
+        q, k, v = (jnp.pad(t, widths) for t in (q, k, v))
+    seg = jnp.zeros((b, s_pad), jnp.int32).at[:, s:].set(1)
+    qseg = jnp.zeros((b, s_pad), jnp.int32)  # q tail masked via slicing below
+    out = flash_attention(
+        q, k, v, segment_ids=SegmentIds(q=qseg, kv=seg),
+        sm_scale=dh ** -0.5,
+        block_sizes=BlockSizes(block_q=min(s_pad, 256),
+                               block_k_major=min(s_pad, 256),
+                               block_k=min(s_pad, 256), block_b=1))
+    return out[:, :, :s] if pad else out
+
+
 def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     mask: Optional[jax.Array] = None,
                     precision: Precision = Precision.fast(),
                     impl: Optional[str] = None) -> jax.Array:
     """Multi-head attention [B, H, S, Dh] → [B, H, S, Dh].
 
-    ``impl``: "pallas" | "xla" | None (auto: pallas on TPU when unmasked).
+    ``impl``: "flash" | "pallas" | "xla" | None (auto).
     """
     if impl is None:
-        # Measured on v5e (B=512, H=12, S=197): XLA's own attention fusion
-        # beats this kernel's current tiling (2619 vs 1928 img/s end to end)
-        # — the per-(batch·head, q-tile) grid re-streams K/V from HBM with
-        # no cross-program pipelining.  Default to XLA; the kernel remains
-        # opt-in (attn_impl="pallas") while its scheduling improves.
+        # CONCLUSIVE on v5e at encoder shapes (docs/PERF.md "Attention:
+        # conclusive negative result"): XLA 4.40 ms/layer vs our best
+        # kernel 6.27 ms and jax's own flash kernel 10.6 ms — tiny
+        # per-head matmuls drain the MXU per program while XLA's batched
+        # GEMM streams it, and Dh=64 wastes half the lanes in any Pallas
+        # layout.  The kernels stay in-tree as tested references.
         impl = "xla"
+    if impl == "flash" and mask is None:
+        return _flash_attention(q, k, v)
     if impl == "pallas" and mask is None:
         return _pallas_attention(q, k, v)
+    if impl == "pallas_mh" and mask is None:
+        return _pallas_mh_attention(q, k, v)
     return _xla_attention(q, k, v, mask, precision)

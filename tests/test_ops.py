@@ -42,6 +42,40 @@ def test_pallas_attention_bf16(rng):
         rtol=0.05, atol=0.05)
 
 
+@pytest.mark.parametrize("shape", [(2, 4, 197, 64), (1, 2, 120, 64)])
+def test_flash_attention_matches_xla(rng, shape):
+    """The jax FlashAttention wrapper: pad-to-128-multiple + segment-id
+    masking of the tail keys must be numerically invisible."""
+    from mcm_tpu.ops.attention import _flash_attention
+    q, k, v = (jnp.asarray(rng.standard_normal(shape), jnp.float32)
+               for _ in range(3))
+    want = _xla_attention(q, k, v, None, Precision.parity())
+    with pltpu.force_tpu_interpret_mode():
+        got = _flash_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("act", ["quick_gelu", "gelu"])
+def test_fused_mlp_matches_reference(rng, act):
+    from mcm_tpu.ops.mlp import fused_mlp
+    m, d, f = 70, 64, 256  # non-multiple M exercises the tail block
+    x = jnp.asarray(rng.standard_normal((m, d)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((d, f)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((f,)), jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((f, d)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((d,)), jnp.float32)
+
+    h = x @ w1 + b1
+    h = (h * jax.nn.sigmoid(1.702 * h) if act == "quick_gelu"
+         else jax.nn.gelu(h, approximate=False))
+    want = h @ w2 + b2
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_mlp(x, w1, b1, w2, b2, act=act, block_m=32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
 # -- fused MCM score ----------------------------------------------------------
 
 @pytest.mark.parametrize("score", CLIP_SCORES)
