@@ -28,9 +28,9 @@ from mcm_tpu.data.transforms import load_image_uint8
 
 
 class Batch(NamedTuple):
-    images: np.ndarray   # uint8 [B, S, S, 3]
-    labels: np.ndarray   # int32 [B]
-    valid: int           # number of non-padding rows
+    images: np.ndarray   # uint8 [local_B, S, S, 3] (this host's stripe)
+    labels: np.ndarray   # int32 [local_B]
+    valid: int           # GLOBAL non-padding row count of the batch
 
 
 class DataPipeline:
@@ -44,8 +44,13 @@ class DataPipeline:
     num_workers:    decode threads (default: min(32, cpu count)).
     prefetch:       batches decoded ahead of the consumer.
     use_native:     C++ libjpeg pipeline (auto-falls back if unavailable).
-    fast_decode:    DCT-prescaled decode (≥2× target res kept; slight
-                    pixel deviation, throughput mode).
+    fast_decode:    DCT-prescaled decode (smallest M/8 scale keeping the
+                    shorter side ≥ target, IFAST IDCT; ~1-4 LSB pixel
+                    deviation on natural images — throughput mode, NOT
+                    for parity runs).
+    stripe:         (lo, hi) rows of each global batch this process
+                    decodes; default = this process's multihost stripe
+                    ((0, batch_size) on one host).
     """
 
     def __init__(self, dataset, batch_size: int, image_size: int = 224,

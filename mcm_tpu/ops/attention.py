@@ -160,12 +160,14 @@ def _flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
         q, k, v = (jnp.pad(t, widths) for t in (q, k, v))
     seg = jnp.zeros((b, s_pad), jnp.int32).at[:, s:].set(1)
     qseg = jnp.zeros((b, s_pad), jnp.int32)  # q tail masked via slicing below
+    # block size must DIVIDE s_pad (the kernel asserts): whole-sequence
+    # blocks up to 512, else fall back to 128 (divides any 128-multiple)
+    blk = s_pad if s_pad <= 512 else 128
     out = flash_attention(
         q, k, v, segment_ids=SegmentIds(q=qseg, kv=seg),
         sm_scale=dh ** -0.5,
-        block_sizes=BlockSizes(block_q=min(s_pad, 256),
-                               block_k_major=min(s_pad, 256),
-                               block_k=min(s_pad, 256), block_b=1))
+        block_sizes=BlockSizes(block_q=blk, block_k_major=blk,
+                               block_k=blk, block_b=1))
     return out[:, :, :s] if pad else out
 
 

@@ -37,7 +37,20 @@ def _encode_pixels(params, cfg: CLIPConfig, images_u8: jax.Array,
     return jclip.encode_image(params, cfg.vision, x, precision)
 
 
-class EvalStep:
+class _Placement:
+    """Multi-host-aware device placement shared by the step classes
+    (requires ``self.mesh`` and ``self.replicated``)."""
+
+    def put_batch(self, images_u8: np.ndarray) -> jax.Array:
+        from mcm_tpu.parallel.multihost import make_global_batch
+        return make_global_batch(self.mesh, images_u8)
+
+    def put_replicated(self, x) -> jax.Array:
+        from mcm_tpu.parallel.multihost import put_global
+        return put_global(jnp.asarray(x), self.replicated)
+
+
+class EvalStep(_Placement):
     """Compiled per-batch eval programs bound to a mesh.
 
     ``score(params, images_u8, text_feats)``   → [B] fp32 OOD scores
@@ -143,21 +156,14 @@ class EvalStep:
         self.replicated = repl
         self.param_shardings = param_sh
 
-    # -- device placement helpers (multi-host aware, see parallel.multihost) --
+    # -- device placement (multi-host aware; put_batch/put_replicated from
+    # _Placement) ------------------------------------------------------------
 
     def put_params(self, params):
         from mcm_tpu.parallel.multihost import put_global
         return jax.tree_util.tree_map(
             lambda x, s: put_global(jnp.asarray(x), s), params,
             self.param_shardings)
-
-    def put_batch(self, images_u8: np.ndarray) -> jax.Array:
-        from mcm_tpu.parallel.multihost import make_global_batch
-        return make_global_batch(self.mesh, images_u8)
-
-    def put_replicated(self, x) -> jax.Array:
-        from mcm_tpu.parallel.multihost import put_global
-        return put_global(jnp.asarray(x), self.replicated)
 
     # -- compiled entry points ------------------------------------------------
 
@@ -200,7 +206,7 @@ class EvalStep:
         return self.put_replicated(text)
 
 
-class VitLinearStep:
+class VitLinearStep(_Placement):
     """Supervised ViT + linear head through the standard score family.
 
     The reference's ``vit-Linear`` configuration
@@ -277,14 +283,6 @@ class VitLinearStep:
         from mcm_tpu.parallel.multihost import put_global
         return jax.tree_util.tree_map(
             lambda x: put_global(jnp.asarray(x), self.replicated), params)
-
-    def put_batch(self, images_u8: np.ndarray) -> jax.Array:
-        from mcm_tpu.parallel.multihost import make_global_batch
-        return make_global_batch(self.mesh, images_u8)
-
-    def put_replicated(self, x) -> jax.Array:
-        from mcm_tpu.parallel.multihost import put_global
-        return put_global(jnp.asarray(x), self.replicated)
 
     def score(self, params, images_u8, text_feats=None) -> jax.Array:
         return self._score(params, images_u8)

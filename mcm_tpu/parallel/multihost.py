@@ -84,11 +84,18 @@ def put_global(x, sharding) -> jax.Array:
 
 
 def read_local(x) -> np.ndarray:
-    """Host copy of this process's rows of a (possibly global) array."""
+    """Host copy of this process's rows of a (possibly global) array.
+
+    On TP meshes each data row is replicated across the model axis, so a
+    host's addressable shards contain every row-block once PER model-axis
+    replica — dedupe by index so the stripe comes back exactly once."""
     if getattr(x, "is_fully_addressable", True):
         return np.asarray(x)
-    shards = sorted(x.addressable_shards,
-                    key=lambda s: s.index[0].start or 0)
+    unique = {}
+    for s in x.addressable_shards:
+        key = tuple((sl.start or 0, sl.stop) for sl in s.index)
+        unique.setdefault(key, s)
+    shards = sorted(unique.values(), key=lambda s: s.index[0].start or 0)
     return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
 

@@ -356,6 +356,26 @@ def maha_score_dataset(step: EvalStep, params, dataset, mu, prec,
                                    min(total, sum(valids)))
 
 
+def _log_id_accuracy(cfg: RunConfig, feats, labels, text_feats, log) -> None:
+    """Log ID top-1/top-5 accuracy from cached features (classifier logits
+    for vit-Linear; zero-shot prompt matching otherwise)."""
+    if cfg.model == "vit-Linear":
+        from mcm_tpu.utils.meters import accuracy
+        top1, top5 = accuracy(feats, labels, topk=(1, 5))
+        log.debug(f"ID classifier accuracy: top1 {top1:.2f}% "
+                  f"top5 {top5:.2f}%")
+        return
+    from mcm_tpu.data.labels import prompt_permutation
+    from mcm_tpu.utils.meters import zero_shot_accuracy
+    # align label indices with prompt rows (ImageNet100 prompts follow
+    # class_list order, not the sorted-wnid label order)
+    perm = prompt_permutation(cfg.in_dataset)
+    mapped = perm[labels] if perm is not None else labels
+    top1, top5 = zero_shot_accuracy(feats, np.asarray(text_feats),
+                                    mapped, topk=(1, 5))
+    log.debug(f"ID zero-shot accuracy: top1 {top1:.2f}% top5 {top5:.2f}%")
+
+
 def _id_features_cached(step, params, val_ds, cfg: RunConfig, log,
                         maybe_profile):
     """ID features (+labels), honoring --resume (the round-1 asymmetry:
@@ -419,31 +439,26 @@ def run_eval(cfg: RunConfig) -> Dict[str, Dict[str, float]]:
         feats, labels = _id_features_cached(step, params, val_ds, cfg, log,
                                             maybe_profile)
         if cfg.model == "vit-Linear":
-            # "features" are classifier logits — score + accuracy directly
+            # "features" are classifier logits — score them directly
             from mcm_tpu.scores.msp import msp_scores
-            from mcm_tpu.utils.meters import accuracy
             in_score = np.asarray(msp_scores(feats, cfg.score, cfg.T))
-            top1, top5 = accuracy(feats, labels, topk=(1, 5))
-            log.debug(f"ID classifier accuracy: top1 {top1:.2f}% "
-                      f"top5 {top5:.2f}%")
         else:
-            from mcm_tpu.data.labels import prompt_permutation
             from mcm_tpu.scores import compute_scores
-            from mcm_tpu.utils.meters import zero_shot_accuracy
             in_score = np.asarray(compute_scores(
                 feats, np.asarray(text_feats), score=cfg.score, T=cfg.T))
-            # align label indices with prompt rows (ImageNet100 prompts
-            # follow class_list order, not the sorted-wnid label order)
-            perm = prompt_permutation(cfg.in_dataset)
-            mapped = perm[labels] if perm is not None else labels
-            top1, top5 = zero_shot_accuracy(feats, np.asarray(text_feats),
-                                            mapped, topk=(1, 5))
-            log.debug(f"ID zero-shot accuracy: top1 {top1:.2f}% "
-                      f"top5 {top5:.2f}%")
+        _log_id_accuracy(cfg, feats, labels, text_feats, log)
         save_scores(cfg.log_directory, f"ID_{cfg.in_dataset}", in_score)
     else:
         with maybe_profile(cfg.trace_dir):
             in_score = scores_for(val_ds, f"ID_{cfg.in_dataset}", True)
+        if cfg.eval_accuracy:
+            if cfg.score == "maha":
+                warnings.warn("--eval_accuracy is ignored with --score maha "
+                              "(no prompt features to classify against)")
+            else:  # odin: accuracy from a separate (cached) feature pass
+                feats, labels = _id_features_cached(step, params, val_ds,
+                                                    cfg, log, maybe_profile)
+                _log_id_accuracy(cfg, feats, labels, text_feats, log)
 
     auroc_list: List[float] = []
     aupr_list: List[float] = []

@@ -53,6 +53,11 @@ def train_clip(cfg: CLIPConfig, dataset, class_names: Sequence[str],
     """
     import jax
 
+    from mcm_tpu.parallel import mesh as meshlib
+    from mcm_tpu.parallel.multihost import make_global_batch
+
+    if mesh is None:
+        mesh = meshlib.make_mesh(None)
     init_state, train_step = make_train_step(cfg, optimizer=optimizer,
                                              precision=precision, mesh=mesh)
     if params is None:
@@ -78,9 +83,13 @@ def train_clip(cfg: CLIPConfig, dataset, class_names: Sequence[str],
         losses = []
         t0 = time.perf_counter()
         for batch in pipe:
-            ids = ids_all[batch.labels]
-            mask = mask_all[batch.labels]
-            state, loss = train_step(state, batch.images, ids, mask)
+            # multi-host: the pipeline yields this process's stripe of the
+            # global batch; lift to data-sharded global arrays (identity
+            # device_put on one host). drop_remainder ⇒ stripes are full.
+            images = make_global_batch(mesh, batch.images)
+            ids = make_global_batch(mesh, ids_all[batch.labels])
+            mask = make_global_batch(mesh, mask_all[batch.labels])
+            state, loss = train_step(state, images, ids, mask)
             losses.append(loss)
         mean_loss = float(np.mean([np.asarray(l) for l in losses]))
         log(f"epoch {epoch + 1}/{epochs}: loss {mean_loss:.4f}  "

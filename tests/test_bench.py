@@ -6,7 +6,7 @@ import numpy as np
 
 def test_flops_per_image_magnitude():
     import bench
-    f = bench.vit_b16_flops_per_image()
+    f = bench.vit_flops_per_image()
     # ViT-B/16 forward ≈ 35 GFLOPs/image (2·MAC convention)
     assert 33e9 < f < 37e9
 
@@ -24,6 +24,14 @@ def test_ensure_jpeg_tree_builds_and_caches(tmp_path, monkeypatch):
     assert again == paths[:3]
 
 
-def test_contending_processes_runs():
+def test_contending_processes_cpu_delta():
     import bench
-    assert bench.contending_processes() >= 0
+    before = bench.python_cpu_snapshot()
+    assert isinstance(before, dict)
+    # zero delta -> zero contenders; synthetic delta -> counted
+    assert bench.contending_processes(before, dict(before)) == 0
+    if before:
+        pid = next(iter(before))
+        after = dict(before)
+        after[pid] = before[pid] + 1000
+        assert bench.contending_processes(before, after) == 1

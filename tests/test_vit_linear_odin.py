@@ -156,11 +156,15 @@ def test_cli_odin(workdir):
         "--score", "odin", "--name", "odinsmoke", "-b", "4",
         "--out_datasets", "dtd", "--allow_random_weights",
         "--noiseMagnitude", "0.002", "--num_workers", "2",
+        "--eval_accuracy",
     ], cwd=str(tmp))
     assert proc.returncode == 0, proc.stderr[-3000:]
     log_dir = (tmp / "results" / "pet37" / "odin" /
                "CLIP_ViT-B/16_T_1_ID_odinsmoke")
     assert (log_dir / "odinsmoke.csv").exists()
+    # --eval_accuracy must not be silently dropped on the odin path
+    log = (log_dir / "ood_eval_info.log").read_text()
+    assert "ID zero-shot accuracy" in log
 
 
 def test_cli_eval_accuracy_resume_uses_cached_features(workdir):
