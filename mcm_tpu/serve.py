@@ -1,0 +1,129 @@
+"""Online-serving API: build an OOD detector once, score images on demand.
+
+The reference (and the batch evaluator mirroring it) is offline-only —
+it walks whole datasets (``/root/reference/eval_ood_detection.py:53-99``).
+Production deployments also need the *online* shape of the same
+capability: one long-lived object holding the compiled encoder, the
+cached class-prompt embeddings, and a calibrated ID/OOD threshold,
+scoring request-sized batches with no recompiles.
+
+TPU-native details:
+
+* requests are padded up to a small ladder of compiled batch shapes
+  (default 1/8/64/512), so any request size reuses one of ≤4 XLA
+  executables — never a fresh trace;
+* text prompts are encoded exactly once at build time;
+* thresholds come from :meth:`OODDetector.calibrate` over held-out ID
+  scores at a target TPR (the online analogue of the evaluator's FPR@95
+  metric — same "lower score = more in-distribution" convention,
+  ``detection_util.py:247-249``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from mcm_tpu.runner import RunConfig, _encode_prompts, build_model_and_step
+
+
+class OODDetector:
+    """Long-lived zero-shot OOD detector bound to one CLIP checkpoint.
+
+    >>> det = OODDetector(class_names=["cat", "dog"], score="MCM",
+    ...                   allow_random_weights=True)  # smoke
+    >>> scores = det.score_images(batch_u8)           # [N] lower = more ID
+    >>> det.calibrate(id_scores, tpr=0.95)
+    >>> det.is_id(scores)                             # [N] bool
+    """
+
+    def __init__(self, class_names: Sequence[str], clip_ckpt: str = "ViT-B/16",
+                 score: str = "MCM", T: float = 1.0,
+                 precision: str = "fast", ckpt_dir: Optional[str] = None,
+                 template_ensemble: bool = False,
+                 allow_random_weights: bool = False,
+                 noise_magnitude: float = 0.0014,
+                 batch_sizes: Sequence[int] = (1, 8, 64, 512),
+                 image_size: int = 224, n_devices: Optional[int] = 1,
+                 model_parallel: int = 1):
+        if score == "maha":
+            raise ValueError("maha needs dataset templates; use the batch "
+                             "evaluator (run_eval) to produce them")
+        cfg = RunConfig(clip_ckpt=clip_ckpt, score=score, T=T,
+                        precision=precision, ckpt_dir=ckpt_dir,
+                        template_ensemble=template_ensemble,
+                        allow_random_weights=allow_random_weights,
+                        noise_magnitude=noise_magnitude,
+                        image_size=image_size, n_devices=n_devices,
+                        model_parallel=model_parallel)
+        self.cfg = cfg
+        self.image_size = image_size
+        self.batch_sizes = tuple(sorted(batch_sizes))
+        self.params, tokenizer, self.step = build_model_and_step(cfg)
+        dp = self.step.mesh.shape["data"]
+        bad = [b for b in self.batch_sizes if b % dp]
+        if bad:
+            raise ValueError(f"batch_sizes {bad} not divisible by the "
+                             f"data-parallel mesh size {dp}")
+        self.text_feats = _encode_prompts(self.step, self.params, tokenizer,
+                                          list(class_names),
+                                          cfg.template_ensemble)
+        self.threshold: Optional[float] = None
+
+    # -- scoring ---------------------------------------------------------------
+
+    def _bucket(self, n: int) -> int:
+        for b in self.batch_sizes:
+            if n <= b:
+                return b
+        return self.batch_sizes[-1]
+
+    def score_images(self, images_u8: np.ndarray) -> np.ndarray:
+        """[N, S, S, 3] uint8 (preprocessed) → [N] fp32 scores
+        (lower = more in-distribution, the evaluator's convention)."""
+        images_u8 = np.asarray(images_u8)
+        if images_u8.ndim == 3:
+            images_u8 = images_u8[None]
+        n = images_u8.shape[0]
+        out = np.empty((n,), np.float32)
+        done = 0
+        while done < n:
+            chunk = min(n - done, self.batch_sizes[-1])
+            b = self._bucket(chunk)
+            batch = np.zeros((b,) + images_u8.shape[1:], np.uint8)
+            batch[:chunk] = images_u8[done:done + chunk]
+            scores = self.step.score(self.params, self.step.put_batch(batch),
+                                     self.text_feats)
+            out[done:done + chunk] = np.asarray(scores)[:chunk]
+            done += chunk
+        return out
+
+    def score_files(self, paths: Sequence[str],
+                    num_workers: Optional[int] = None) -> np.ndarray:
+        """Decode (native C++ pipeline, PIL fallback) + score image files."""
+        from mcm_tpu.data.pipeline import DataPipeline
+        ds = [(p, 0) for p in paths]
+        b = self._bucket(len(ds))
+        pipe = DataPipeline(ds, b, image_size=self.image_size,
+                            num_workers=num_workers, stripe=(0, b))
+        outs = [np.asarray(self.step.score(
+            self.params, self.step.put_batch(batch.images),
+            self.text_feats))[:batch.valid] for batch in pipe]
+        return np.concatenate(outs)[:len(ds)]
+
+    # -- thresholding ----------------------------------------------------------
+
+    def calibrate(self, id_scores: np.ndarray, tpr: float = 0.95) -> float:
+        """Set the ID/OOD threshold so ``tpr`` of held-out ID scores pass.
+
+        The online analogue of FPR@95%TPR: everything at or below the
+        ``tpr``-quantile of ID scores is called in-distribution."""
+        self.threshold = float(np.quantile(np.asarray(id_scores), tpr))
+        return self.threshold
+
+    def is_id(self, scores: np.ndarray) -> np.ndarray:
+        """[N] bool — True where the image is called in-distribution."""
+        if self.threshold is None:
+            raise RuntimeError("call calibrate(id_scores) first")
+        return np.asarray(scores) <= self.threshold

@@ -1,0 +1,69 @@
+"""Online-serving API (mcm_tpu.serve.OODDetector): bucketed batch shapes,
+file scoring through the native pipeline, threshold calibration."""
+
+import numpy as np
+import pytest
+
+from util_synth import make_imagefolder_tree
+
+
+@pytest.fixture(scope="module")
+def detector():
+    from mcm_tpu.serve import OODDetector
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        return OODDetector(class_names=["cat", "dog", "owl"],
+                           allow_random_weights=True,
+                           batch_sizes=(1, 4), n_devices=1)
+
+
+def test_score_images_buckets_and_padding(detector):
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, size=(6, 224, 224, 3), dtype=np.uint8)
+    scores = detector.score_images(imgs)
+    assert scores.shape == (6,) and np.isfinite(scores).all()
+    # MCM scores live in [-1, 0)
+    assert (scores <= 0).all() and (scores >= -1).all()
+    # padding must not leak: scoring a prefix gives identical values
+    np.testing.assert_allclose(detector.score_images(imgs[:3]), scores[:3],
+                               rtol=1e-5, atol=1e-6)
+    # single unbatched image works too (different compiled bucket → bf16
+    # tiling differences, so compare loosely)
+    one = detector.score_images(imgs[0])
+    np.testing.assert_allclose(one, scores[:1], rtol=5e-3, atol=5e-4)
+
+
+def test_score_files_matches_score_images(detector, tmp_path):
+    make_imagefolder_tree(str(tmp_path / "t"), ["x"], 5)
+    import glob
+    paths = sorted(glob.glob(str(tmp_path / "t" / "x" / "*")))
+    from_files = detector.score_files(paths, num_workers=1)
+    from mcm_tpu.data.pipeline import DataPipeline
+    pipe = DataPipeline([(p, 0) for p in paths], 4, num_workers=1,
+                        stripe=(0, 4))
+    imgs = np.concatenate([b.images[:b.valid] for b in pipe])
+    # tail elements may be scored by a different compiled bucket (bf16
+    # tiling differences) — loose comparison
+    np.testing.assert_allclose(from_files,
+                               detector.score_images(imgs),
+                               rtol=5e-3, atol=5e-4)
+
+
+def test_calibrate_and_is_id(detector):
+    rng = np.random.default_rng(1)
+    id_scores = rng.uniform(-1.0, -0.6, 1000)
+    thr = detector.calibrate(id_scores, tpr=0.95)
+    assert thr == pytest.approx(np.quantile(id_scores, 0.95))
+    assert detector.is_id(id_scores).mean() == pytest.approx(0.95, abs=0.01)
+    assert not detector.is_id(np.array([-0.1])).any()
+
+
+def test_detector_rejects_maha_and_bad_buckets():
+    from mcm_tpu.serve import OODDetector
+    with pytest.raises(ValueError, match="maha"):
+        OODDetector(class_names=["a"], score="maha",
+                    allow_random_weights=True)
+    with pytest.raises(ValueError, match="not divisible"):
+        OODDetector(class_names=["a"], allow_random_weights=True,
+                    batch_sizes=(3,), n_devices=2)
