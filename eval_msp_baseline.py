@@ -103,14 +103,18 @@ def main():
         return msp_scores(logits, args.score, args.T)
 
     def score_dataset(dataset):
+        # one-batch-behind readback, same overlap pattern as the runner
+        from mcm_tpu.runner import _StreamReadback
+        # single-process baseline: full batches (no multi-host striping)
         pipe = DataPipeline(dataset, args.batch_size,
-                            num_workers=args.num_workers)
-        outs, valids = [], []
+                            num_workers=args.num_workers,
+                            stripe=(0, args.batch_size))
+        stream = _StreamReadback()
+        valids = []
         for batch in pipe:
-            outs.append(np.asarray(score_batch(params,
-                                               jnp.asarray(batch.images))))
+            stream.push(score_batch(params, jnp.asarray(batch.images)))
             valids.append(batch.valid)
-        return collect_scores(outs, valids, pipe.num_samples)
+        return collect_scores(stream.finish(), valids, pipe.num_samples)
 
     val_ds = set_val_loader(args.in_dataset, args.root_dir)
     in_score = score_dataset(val_ds)

@@ -97,8 +97,22 @@ def train_clip(cfg: CLIPConfig, dataset, class_names: Sequence[str],
         if not np.isfinite(mean_loss):
             raise FloatingPointError(f"non-finite loss at epoch {epoch + 1}")
         if ckpt_path:
-            from mcm_tpu.models.convert import save_params
-            host = jax.tree_util.tree_map(np.asarray, state.params)
-            save_params(host, ckpt_path)
-            log(f"checkpoint -> {ckpt_path}")
+            _save_checkpoint(state.params, ckpt_path, log)
     return state
+
+
+def _save_checkpoint(params, ckpt_path: str, log) -> None:
+    """npz on a single host; orbax (sharding-aware, collective) when the
+    params span processes and a host copy isn't addressable."""
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(params)
+    if all(getattr(l, "is_fully_addressable", True) for l in leaves):
+        from mcm_tpu.models.convert import save_params
+        save_params(jax.tree_util.tree_map(np.asarray, params), ckpt_path)
+        log(f"checkpoint -> {ckpt_path}")
+    else:
+        from mcm_tpu.models.convert import save_params_orbax
+        path = ckpt_path[:-4] if ckpt_path.endswith(".npz") else ckpt_path
+        save_params_orbax(params, path)
+        log(f"checkpoint (orbax, multi-host) -> {path}")
