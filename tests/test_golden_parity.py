@@ -88,16 +88,20 @@ def test_final_features_and_scores(golden, ours):
     np.testing.assert_allclose(mcm, golden["mcm"], atol=1e-5)
 
 
-def test_full_b16_converter_consumes_every_key():
-    """Shape-exact full-size B/16 state dict through the converter: every
+def _full_size_cfg(name):
+    from mcm_tpu.config import CLIP_CONFIGS
+    return CLIP_CONFIGS[name]()
+
+
+@pytest.mark.parametrize("ckpt", ["ViT-B/16", "ViT-L/14"])
+def test_full_size_converter_consumes_every_key(ckpt):
+    """Shape-exact full-size state dict through the converter: every
     key must be read (a dropped/renamed key would silently zero a tensor
     at real scale) and the pytree must carry the exact shapes."""
-    from mcm_tpu.config import clip_vit_b16
     from mcm_tpu.models.convert import convert_hf_clip
-    from mcm_tpu.models.hf_synth import hf_clip_key_shapes, \
-        synth_hf_clip_state_dict
+    from mcm_tpu.models.hf_synth import synth_hf_clip_state_dict
 
-    cfg = clip_vit_b16()
+    cfg = _full_size_cfg(ckpt)
     sd = synth_hf_clip_state_dict(cfg, seed=1)
     accessed = set()
 

@@ -67,11 +67,12 @@ def test_finetune_cli_then_clip_linear_eval(tmp_path):
                               "images"), ["banded"], 4, color_bias=40)
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
     out = tmp_path / "ft_pet.npz"
+    # B/32 keeps the full-size-CLI path while staying ~4x cheaper on CPU
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "finetune_clip.py"),
          "--in_dataset", "pet37", "--root-dir", str(root), "--epochs", "1",
-         "-b", "4", "--allow_random_weights", "--num_workers", "2",
-         "--out", str(out)],
+         "-b", "4", "--CLIP_ckpt", "ViT-B/32", "--allow_random_weights",
+         "--num_workers", "2", "--out", str(out)],
         cwd=str(tmp_path), env=env, capture_output=True, text=True,
         timeout=900)
     assert proc.returncode == 0, proc.stderr[-3000:]
@@ -80,6 +81,7 @@ def test_finetune_cli_then_clip_linear_eval(tmp_path):
         [sys.executable, os.path.join(REPO, "eval_ood_detection.py"),
          "--in_dataset", "pet37", "--root-dir", str(root),
          "--model", "CLIP-Linear", "--finetune_ckpt", str(out),
+         "--CLIP_ckpt", "ViT-B/32",
          "--score", "MCM", "--name", "ftev", "-b", "8",
          "--out_datasets", "dtd", "--allow_random_weights",
          "--num_workers", "2"],
@@ -87,4 +89,4 @@ def test_finetune_cli_then_clip_linear_eval(tmp_path):
         timeout=900)
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert (tmp_path / "results" / "pet37" / "MCM" /
-            "CLIP-Linear_ViT-B/16_T_1_ID_ftev" / "ftev.csv").exists()
+            "CLIP-Linear_ViT-B/32_T_1_ID_ftev" / "ftev.csv").exists()
