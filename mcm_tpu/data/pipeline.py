@@ -73,14 +73,19 @@ class DataPipeline:
         # every global batch (parallel/multihost.py scheme); every process
         # still iterates the same number of (lockstep) batches.  ``valid``
         # stays the GLOBAL count — stripe-local padding is resolved by
-        # ``assemble_global_outputs`` after readback.
+        # ``assemble_global_outputs`` after readback.  Only consult jax if
+        # a backend is already live: constructing a host-side decode
+        # pipeline must not initialize (and contend for) the accelerator.
         if stripe is None:
-            import jax
-            if jax.process_count() > 1:
-                from mcm_tpu.parallel.multihost import batch_stripe
-                stripe = batch_stripe(batch_size)
-            else:
-                stripe = (0, batch_size)
+            stripe = (0, batch_size)
+            import sys
+            jax = sys.modules.get("jax")
+            if jax is not None:
+                from jax._src import xla_bridge
+                if (xla_bridge.backends_are_initialized()
+                        and jax.process_count() > 1):
+                    from mcm_tpu.parallel.multihost import batch_stripe
+                    stripe = batch_stripe(batch_size)
         self.stripe = stripe
         self.local_batch_size = stripe[1] - stripe[0]
 

@@ -77,6 +77,17 @@ class EvalStep(_Placement):
                 and precision.attn_impl == "auto"):
             import dataclasses
             precision = dataclasses.replace(precision, attn_impl="xla")
+        if score == "odin":
+            # ODIN's ε-nudge (~0.005 in normalized-pixel space) is AT the
+            # bf16 ULP for |x|≥1, so fast-mode activations quantize it
+            # away; and its jax.grad cannot differentiate through the
+            # opt-in Pallas kernels.  Run the whole odin program fp32+XLA
+            # (matches the fp32 reference, detection_util.py:122-146).
+            import dataclasses
+            precision = dataclasses.replace(precision,
+                                            activation_dtype=jnp.float32,
+                                            attn_impl="xla",
+                                            mlp_impl="xla")
         self.precision = precision
 
         batch_sh = meshlib.batch_sharding(self.mesh)
@@ -234,6 +245,12 @@ class VitLinearStep(_Placement):
         self.cfg = cfg
         self.score_name = score
         self.T = float(T)
+        if score == "odin":  # fp32 + XLA for the grad path (see EvalStep)
+            import dataclasses
+            precision = dataclasses.replace(precision,
+                                            activation_dtype=jnp.float32,
+                                            attn_impl="xla",
+                                            mlp_impl="xla")
         self.precision = precision
         self.mesh = mesh if mesh is not None else meshlib.make_mesh(1)
         if self.mesh.shape[meshlib.MODEL_AXIS] != 1:
@@ -243,10 +260,10 @@ class VitLinearStep(_Placement):
         batch_sh = meshlib.batch_sharding(self.mesh)
         repl = meshlib.replicated(self.mesh)
 
-        def logits_fn(params, images_u8):
+        def logits_fn(params, images_u8, perturb: bool):
             x = normalize_on_device(images_u8, IMAGENET_MEAN, IMAGENET_STD,
                                     dtype=precision.activation_dtype)
-            if score == "odin":
+            if perturb:
                 from mcm_tpu.scores.odin import odin_perturb
                 x = odin_perturb(
                     lambda xi: jvit.forward_logits(params, cfg, xi,
@@ -256,11 +273,15 @@ class VitLinearStep(_Placement):
 
         def score_fn(params, images_u8):
             inner = "MCM" if score == "odin" else score
-            logits = logits_fn(params, images_u8).astype(jnp.float32)
+            logits = logits_fn(params, images_u8,
+                               perturb=score == "odin").astype(jnp.float32)
             return _scores_from_logits(logits, self.T)[inner]
 
+        # features (the accuracy/caching substrate) are CLEAN logits —
+        # the ODIN perturbation applies to scoring only
         features_fn = lambda params, images_u8: (
-            logits_fn(params, images_u8).astype(jnp.float32))
+            logits_fn(params, images_u8, perturb=False)
+            .astype(jnp.float32))
 
         if self.mesh.size > 1:
             score_fn = jax.shard_map(

@@ -61,7 +61,8 @@ class OODDetector:
         self.image_size = image_size
         self.batch_sizes = tuple(sorted(batch_sizes))
         self.params, tokenizer, self.step = build_model_and_step(cfg)
-        dp = self.step.mesh.shape["data"]
+        from mcm_tpu.parallel.mesh import DATA_AXIS
+        dp = self.step.mesh.shape[DATA_AXIS]
         bad = [b for b in self.batch_sizes if b % dp]
         if bad:
             raise ValueError(f"batch_sizes {bad} not divisible by the "
@@ -83,6 +84,11 @@ class OODDetector:
         """[N, S, S, 3] uint8 (preprocessed) → [N] fp32 scores
         (lower = more in-distribution, the evaluator's convention)."""
         images_u8 = np.asarray(images_u8)
+        if images_u8.dtype != np.uint8:
+            raise TypeError(
+                f"score_images expects uint8 pixels in [0, 255] (got "
+                f"{images_u8.dtype}); normalization happens on-device — "
+                f"scale float inputs by 255 and cast explicitly")
         if images_u8.ndim == 3:
             images_u8 = images_u8[None]
         n = images_u8.shape[0]
@@ -104,6 +110,8 @@ class OODDetector:
         """Decode (native C++ pipeline, PIL fallback) + score image files."""
         from mcm_tpu.data.pipeline import DataPipeline
         ds = [(p, 0) for p in paths]
+        if not ds:
+            return np.zeros((0,), np.float32)
         b = self._bucket(len(ds))
         pipe = DataPipeline(ds, b, image_size=self.image_size,
                             num_workers=num_workers, stripe=(0, b))

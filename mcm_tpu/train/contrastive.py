@@ -60,10 +60,11 @@ def make_train_step(cfg: CLIPConfig,
     """
     optimizer = optimizer or optax.adamw(1e-5, weight_decay=0.2)
     mesh = mesh if mesh is not None else meshlib.make_mesh(1)
-    # training differentiates through attention — use the XLA path (the
-    # Pallas forward kernel has no VJP defined)
+    # training differentiates through the towers — use the XLA paths (the
+    # opt-in Pallas forward kernels have no VJP defined)
     import dataclasses
-    precision = dataclasses.replace(precision, attn_impl="xla")
+    precision = dataclasses.replace(precision, attn_impl="xla",
+                                    mlp_impl="xla")
 
     param_sh = meshlib.param_shardings(mesh)
     batch_sh = meshlib.batch_sharding(mesh)

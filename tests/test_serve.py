@@ -59,6 +59,16 @@ def test_calibrate_and_is_id(detector):
     assert not detector.is_id(np.array([-0.1])).any()
 
 
+def test_score_images_rejects_float_input(detector):
+    with pytest.raises(TypeError, match="uint8"):
+        detector.score_images(np.zeros((2, 224, 224, 3), np.float32))
+
+
+def test_score_files_empty(detector):
+    out = detector.score_files([])
+    assert out.shape == (0,) and out.dtype == np.float32
+
+
 def test_detector_rejects_maha_and_bad_buckets():
     from mcm_tpu.serve import OODDetector
     with pytest.raises(ValueError, match="maha"):

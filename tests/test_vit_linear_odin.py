@@ -109,6 +109,59 @@ def test_odin_zero_noise_equals_mcm(rng):
     assert not np.allclose(odin, mcm)  # the perturbation must do something
 
 
+def test_odin_forces_fp32_xla_program():
+    """The ε-nudge is at the bf16 ULP and jax.grad can't differentiate the
+    opt-in Pallas kernels — odin steps must run fp32 + XLA regardless of
+    the requested fast mode."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from mcm_tpu.config import CLIPConfig, Precision, TextConfig, VisionConfig
+    from mcm_tpu.parallel import EvalStep, VitLinearStep, make_mesh
+
+    tiny = CLIPConfig(
+        name="tiny",
+        vision=VisionConfig(image_size=32, patch_size=8, width=64, layers=2,
+                            heads=4, projection_dim=32),
+        text=TextConfig(vocab_size=128, context_length=16, width=64,
+                        layers=2, heads=4, projection_dim=32))
+    fast_pallas = dataclasses.replace(Precision.fast(), attn_impl="pallas",
+                                      mlp_impl="pallas")
+    step = EvalStep(tiny, score="odin", precision=fast_pallas,
+                    mesh=make_mesh(1))
+    assert step.precision.activation_dtype == jnp.float32
+    assert step.precision.attn_impl == "xla"
+    assert step.precision.mlp_impl == "xla"
+    vstep = VitLinearStep(_tiny_vit_cfg(), score="odin",
+                          precision=fast_pallas, mesh=make_mesh(1))
+    assert vstep.precision.activation_dtype == jnp.float32
+    assert vstep.precision.mlp_impl == "xla"
+
+
+def test_vit_linear_features_are_clean_under_odin(rng):
+    """features() feeds accuracy + the resume cache — it must return the
+    UNperturbed classifier logits even when scoring uses ODIN."""
+    import jax
+
+    from mcm_tpu.config import Precision
+    from mcm_tpu.models.init import init_supervised_vit
+    from mcm_tpu.parallel import VitLinearStep, make_mesh
+
+    cfg = _tiny_vit_cfg()
+    params = init_supervised_vit(jax.random.key(0), cfg)
+    images = rng.integers(0, 256, size=(4, 32, 32, 3), dtype=np.uint8)
+
+    def feats(score):
+        step = VitLinearStep(cfg, score=score, precision=Precision.parity(),
+                             mesh=make_mesh(1), noise_magnitude=0.01)
+        p = step.put_params(params)
+        return np.asarray(step.features(p, step.put_batch(images)))
+
+    np.testing.assert_allclose(feats("odin"), feats("MCM"),
+                               rtol=1e-5, atol=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # CLI level
 # ---------------------------------------------------------------------------
