@@ -54,7 +54,6 @@ def main():
                                          normalize_on_device)
     from mcm_tpu.metrics import get_measures, print_measures
     from mcm_tpu.models import vit as jvit
-    from mcm_tpu.models.convert import load_params, load_state_dict
     from mcm_tpu.models.init import init_supervised_vit
     from mcm_tpu.scores.msp import msp_scores
     from mcm_tpu.utils import setup_log, setup_seed
@@ -67,22 +66,7 @@ def main():
     os.makedirs(log_directory, exist_ok=True)
     log = setup_log(log_directory, args.name)
 
-    params = None
-    ckpt_dir = args.ckpt_dir or os.environ.get("MCM_TPU_CKPT_DIR",
-                                               "checkpoints")
-    native = os.path.join(ckpt_dir, "vit-base-patch16-224.npz")
-    if os.path.exists(native):
-        params = load_params(native)
-    else:
-        for cand in (os.path.join(ckpt_dir, "vit-base-patch16-224"),):
-            if os.path.isdir(cand):
-                params = jvit.convert_hf_vit(load_state_dict(cand), cfg)
-                try:
-                    from mcm_tpu.models.convert import save_params
-                    os.makedirs(ckpt_dir, exist_ok=True)
-                    save_params(params, native)
-                except OSError:
-                    pass
+    params = jvit.resolve_vit_params(cfg, args.ckpt_dir, cache=True)
     if params is None:
         if not args.allow_random_weights:
             raise FileNotFoundError(

@@ -28,14 +28,13 @@ from typing import Dict, Tuple
 
 import numpy as np
 
-from mcm_tpu.config import CLIPConfig
+from mcm_tpu.config import CLIPConfig, TextConfig, VisionConfig
 
 
 def golden_config() -> CLIPConfig:
     """The committed-golden model: mid-size (6 layers / 384 wide / 224²-16)
     so real-scale subtleties (197-token sequences, pre-LN, EOT pooling)
     are exercised while the golden file stays a few MB."""
-    from mcm_tpu.config import TextConfig, VisionConfig
     return CLIPConfig(
         name="synth-6L384",
         vision=VisionConfig(image_size=224, patch_size=16, width=384,

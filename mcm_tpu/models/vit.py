@@ -86,6 +86,33 @@ def forward_logits_jit(params, cfg: SupervisedViTConfig, pixel_values,
     return forward_logits(params, cfg, pixel_values, precision)
 
 
+def resolve_vit_params(cfg: SupervisedViTConfig,
+                       ckpt_dir=None, cache: bool = False):
+    """Supervised-ViT weights from ``ckpt_dir`` (converted npz, else an HF
+    ``google/vit-base-patch16-224`` snapshot), or None.  Shared by the MSP
+    baseline CLI and the vit-Linear path of the main runner."""
+    import os
+
+    from mcm_tpu.models.convert import load_params, load_state_dict
+
+    ckpt_dir = ckpt_dir or os.environ.get("MCM_TPU_CKPT_DIR", "checkpoints")
+    native = os.path.join(ckpt_dir, "vit-base-patch16-224.npz")
+    if os.path.exists(native):
+        return load_params(native)
+    snapshot = os.path.join(ckpt_dir, "vit-base-patch16-224")
+    if os.path.isdir(snapshot):
+        params = convert_hf_vit(load_state_dict(snapshot), cfg)
+        if cache:
+            try:
+                from mcm_tpu.models.convert import save_params
+                os.makedirs(ckpt_dir, exist_ok=True)
+                save_params(params, native)
+            except OSError:
+                pass
+        return params
+    return None
+
+
 # ---------------------------------------------------------------------------
 # HF google/vit-* checkpoint conversion
 # ---------------------------------------------------------------------------

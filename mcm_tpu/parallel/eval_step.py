@@ -14,6 +14,7 @@ Works identically on 1 device (trivial mesh) and N (pjit/SPMD).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional
 
@@ -28,6 +29,16 @@ from mcm_tpu.models import clip as jclip
 from mcm_tpu.parallel import mesh as meshlib
 from mcm_tpu.scores.clip_scores import l2_normalize
 from mcm_tpu.scores.mahalanobis import mahalanobis_score
+
+
+def _odin_safe(precision: Precision) -> Precision:
+    """Precision policy for ODIN programs: the ε-nudge (~0.005 in
+    normalized-pixel space) is AT the bf16 ULP for |x|≥1, so fast-mode
+    activations quantize it away; and its jax.grad cannot differentiate
+    the opt-in Pallas kernels.  fp32 + XLA matches the fp32 reference
+    (``detection_util.py:122-146``)."""
+    return dataclasses.replace(precision, activation_dtype=jnp.float32,
+                               attn_impl="xla", mlp_impl="xla")
 
 
 def _encode_pixels(params, cfg: CLIPConfig, images_u8: jax.Array,
@@ -75,19 +86,9 @@ class EvalStep(_Placement):
         self._dp_only = self.mesh.shape[meshlib.MODEL_AXIS] == 1
         if (self.mesh.size > 1 and not self._dp_only
                 and precision.attn_impl == "auto"):
-            import dataclasses
             precision = dataclasses.replace(precision, attn_impl="xla")
         if score == "odin":
-            # ODIN's ε-nudge (~0.005 in normalized-pixel space) is AT the
-            # bf16 ULP for |x|≥1, so fast-mode activations quantize it
-            # away; and its jax.grad cannot differentiate through the
-            # opt-in Pallas kernels.  Run the whole odin program fp32+XLA
-            # (matches the fp32 reference, detection_util.py:122-146).
-            import dataclasses
-            precision = dataclasses.replace(precision,
-                                            activation_dtype=jnp.float32,
-                                            attn_impl="xla",
-                                            mlp_impl="xla")
+            precision = _odin_safe(precision)
         self.precision = precision
 
         batch_sh = meshlib.batch_sharding(self.mesh)
@@ -245,12 +246,8 @@ class VitLinearStep(_Placement):
         self.cfg = cfg
         self.score_name = score
         self.T = float(T)
-        if score == "odin":  # fp32 + XLA for the grad path (see EvalStep)
-            import dataclasses
-            precision = dataclasses.replace(precision,
-                                            activation_dtype=jnp.float32,
-                                            attn_impl="xla",
-                                            mlp_impl="xla")
+        if score == "odin":
+            precision = _odin_safe(precision)
         self.precision = precision
         self.mesh = mesh if mesh is not None else meshlib.make_mesh(1)
         if self.mesh.shape[meshlib.MODEL_AXIS] != 1:

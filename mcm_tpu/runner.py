@@ -28,7 +28,7 @@ from mcm_tpu.config import CLIP_CONFIGS, resolve_precision
 from mcm_tpu.data import (DataPipeline, default_out_datasets,
                           get_test_labels, set_ood_loader, set_train_loader,
                           set_val_loader)
-from mcm_tpu.parallel.multihost import assemble_global_outputs
+from mcm_tpu.parallel.multihost import assemble_global_outputs, read_local
 from mcm_tpu.metrics import get_measures, print_measures
 from mcm_tpu.models.convert import resolve_clip_params
 from mcm_tpu.models.init import init_clip
@@ -136,22 +136,13 @@ def _build_vit_linear(cfg: RunConfig):
     import jax
 
     from mcm_tpu.config import SupervisedViTConfig
-    from mcm_tpu.models import vit as jvit
-    from mcm_tpu.models.convert import load_params, load_state_dict
+    from mcm_tpu.models.vit import resolve_vit_params
 
     if cfg.score == "maha":
         raise ValueError("--score maha is CLIP-feature-based; "
                          "not supported with --model vit-Linear")
     vit_cfg = SupervisedViTConfig()
-    params = None
-    ckpt_dir = cfg.ckpt_dir or os.environ.get("MCM_TPU_CKPT_DIR",
-                                              "checkpoints")
-    native = os.path.join(ckpt_dir, "vit-base-patch16-224.npz")
-    snapshot = os.path.join(ckpt_dir, "vit-base-patch16-224")
-    if os.path.exists(native):
-        params = load_params(native)
-    elif os.path.isdir(snapshot):
-        params = jvit.convert_hf_vit(load_state_dict(snapshot), vit_cfg)
+    params = resolve_vit_params(vit_cfg, cfg.ckpt_dir)
     if params is None:
         if not cfg.allow_random_weights:
             raise FileNotFoundError(
@@ -259,7 +250,6 @@ class _StreamReadback:
         return self.out
 
     def _drain(self, limit: int) -> None:
-        from mcm_tpu.parallel.multihost import read_local
         while len(self._pending) > limit:
             with self._tel.stage("readback"):
                 self.out.append(read_local(self._pending.pop(0)))
