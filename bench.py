@@ -120,7 +120,7 @@ def main():
     ckpt = os.environ.get("MCM_BENCH_CKPT", "ViT-B/16")
     batch = int(os.environ.get("MCM_BENCH_BATCH", BATCH))
     cfg = CLIP_CONFIGS[ckpt]()
-    params = init_clip(jax.random.key(0), cfg)
+    params = init_clip(0, cfg)
 
     n_dev = len(jax.devices())
     mesh = make_mesh(n_dev)

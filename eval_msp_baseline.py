@@ -75,7 +75,7 @@ def main():
                 "--allow_random_weights")
         import warnings
         warnings.warn("RANDOM WEIGHTS — smoke mode")
-        params = init_supervised_vit(jax.random.key(0), cfg)
+        params = init_supervised_vit(0, cfg)
 
     precision = Precision.fast()
 

@@ -3,115 +3,135 @@
 Used for tests and benchmarks when no pretrained checkpoint is on disk
 (throughput is weight-independent).  Scales follow the OpenAI CLIP init
 scheme closely enough for stable forward passes.
+
+Generation is HOST-side numpy: jax.random on a tunneled TPU costs ~50 s
+of remote compiles for a B/16's ~15 shapes (and even reading a key's
+data back via ``jax.random.key_data`` costs a ~60 s remote compile per
+process) — numpy fills the same 150M params in a few seconds.  Pass a
+plain int seed; jax PRNG keys are still accepted (their data seeds the
+numpy generator — cheap on CPU backends, slow through a device tunnel).
 """
 
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
+import numpy as np
 
 from mcm_tpu.config import CLIPConfig, SupervisedViTConfig, TextConfig, VisionConfig
 
 
+def _seed_of(key) -> np.random.SeedSequence:
+    if isinstance(key, (int, np.integer)):
+        return np.random.SeedSequence(int(key))
+    return np.random.SeedSequence(
+        np.asarray(jax.random.key_data(key)).ravel().tolist())
+
+
+def _rng_for(key) -> np.random.Generator:
+    return np.random.default_rng(_seed_of(key))
+
+
 def _ln(dim: int):
-    return {"scale": jnp.ones((dim,), jnp.float32),
-            "bias": jnp.zeros((dim,), jnp.float32)}
+    return {"scale": np.ones((dim,), np.float32),
+            "bias": np.zeros((dim,), np.float32)}
 
 
-def _stacked_layers(key: jax.Array, layers: int, width: int,
+def _ln_stack(layers: int, dim: int):
+    return {"scale": np.ones((layers, dim), np.float32),
+            "bias": np.zeros((layers, dim), np.float32)}
+
+
+def _stacked_layers(rng: np.random.Generator, layers: int, width: int,
                     mlp_ratio: int) -> dict:
     hidden = width * mlp_ratio
-    ks = jax.random.split(key, 6)
     std = width ** -0.5
 
-    def norm(k, shape, s):
-        return (jax.random.normal(k, shape, jnp.float32) * s)
+    def norm(shape, s):
+        return (rng.standard_normal(shape, dtype=np.float32) * s)
 
     return {
         "ln1": _ln_stack(layers, width),
         "attn": {
-            "wq": norm(ks[0], (layers, width, width), std),
-            "wk": norm(ks[1], (layers, width, width), std),
-            "wv": norm(ks[2], (layers, width, width), std),
-            "wo": norm(ks[3], (layers, width, width), std),
-            "bq": jnp.zeros((layers, width), jnp.float32),
-            "bk": jnp.zeros((layers, width), jnp.float32),
-            "bv": jnp.zeros((layers, width), jnp.float32),
-            "bo": jnp.zeros((layers, width), jnp.float32),
+            "wq": norm((layers, width, width), std),
+            "wk": norm((layers, width, width), std),
+            "wv": norm((layers, width, width), std),
+            "wo": norm((layers, width, width), std),
+            "bq": np.zeros((layers, width), np.float32),
+            "bk": np.zeros((layers, width), np.float32),
+            "bv": np.zeros((layers, width), np.float32),
+            "bo": np.zeros((layers, width), np.float32),
         },
         "ln2": _ln_stack(layers, width),
         "mlp": {
-            "w1": norm(ks[4], (layers, width, hidden), std),
-            "b1": jnp.zeros((layers, hidden), jnp.float32),
-            "w2": norm(ks[5], (layers, hidden, width), hidden ** -0.5),
-            "b2": jnp.zeros((layers, width), jnp.float32),
+            "w1": norm((layers, width, hidden), std),
+            "b1": np.zeros((layers, hidden), np.float32),
+            "w2": norm((layers, hidden, width), hidden ** -0.5),
+            "b2": np.zeros((layers, width), np.float32),
         },
     }
 
 
-def _ln_stack(layers: int, dim: int):
-    return {"scale": jnp.ones((layers, dim), jnp.float32),
-            "bias": jnp.zeros((layers, dim), jnp.float32)}
-
-
-def init_vision(key: jax.Array, cfg: VisionConfig) -> dict:
-    ks = jax.random.split(key, 5)
+def init_vision(key, cfg: VisionConfig) -> dict:
+    rng = np.random.default_rng(key)
     patch_dim = cfg.patch_size * cfg.patch_size * 3
     return {
-        "patch_embed": jax.random.normal(ks[0], (patch_dim, cfg.width),
-                                         jnp.float32) * cfg.width ** -0.5,
-        "class_emb": jax.random.normal(ks[1], (cfg.width,),
-                                       jnp.float32) * cfg.width ** -0.5,
-        "pos_emb": jax.random.normal(ks[2], (cfg.seq_len, cfg.width),
-                                     jnp.float32) * 0.01,
+        "patch_embed": rng.standard_normal(
+            (patch_dim, cfg.width), dtype=np.float32) * cfg.width ** -0.5,
+        "class_emb": rng.standard_normal(
+            (cfg.width,), dtype=np.float32) * cfg.width ** -0.5,
+        "pos_emb": rng.standard_normal(
+            (cfg.seq_len, cfg.width), dtype=np.float32) * 0.01,
         "pre_ln": _ln(cfg.width),
-        "layers": _stacked_layers(ks[3], cfg.layers, cfg.width, cfg.mlp_ratio),
+        "layers": _stacked_layers(rng, cfg.layers, cfg.width, cfg.mlp_ratio),
         "post_ln": _ln(cfg.width),
-        "proj": jax.random.normal(ks[4], (cfg.width, cfg.projection_dim),
-                                  jnp.float32) * cfg.width ** -0.5,
+        "proj": rng.standard_normal(
+            (cfg.width, cfg.projection_dim),
+            dtype=np.float32) * cfg.width ** -0.5,
     }
 
 
-def init_text(key: jax.Array, cfg: TextConfig) -> dict:
-    ks = jax.random.split(key, 4)
+def init_text(key, cfg: TextConfig) -> dict:
+    rng = np.random.default_rng(key)
     return {
-        "token_emb": jax.random.normal(ks[0], (cfg.vocab_size, cfg.width),
-                                       jnp.float32) * 0.02,
-        "pos_emb": jax.random.normal(ks[1], (cfg.context_length, cfg.width),
-                                     jnp.float32) * 0.01,
-        "layers": _stacked_layers(ks[2], cfg.layers, cfg.width, cfg.mlp_ratio),
+        "token_emb": rng.standard_normal(
+            (cfg.vocab_size, cfg.width), dtype=np.float32) * 0.02,
+        "pos_emb": rng.standard_normal(
+            (cfg.context_length, cfg.width), dtype=np.float32) * 0.01,
+        "layers": _stacked_layers(rng, cfg.layers, cfg.width, cfg.mlp_ratio),
         "final_ln": _ln(cfg.width),
-        "proj": jax.random.normal(ks[3], (cfg.width, cfg.projection_dim),
-                                  jnp.float32) * cfg.width ** -0.5,
+        "proj": rng.standard_normal(
+            (cfg.width, cfg.projection_dim),
+            dtype=np.float32) * cfg.width ** -0.5,
     }
 
 
-def init_clip(key: jax.Array, cfg: CLIPConfig) -> dict:
-    kv, kt = jax.random.split(key)
+def init_clip(key, cfg: CLIPConfig) -> dict:
+    kv, kt = _seed_of(key).spawn(2)
     return {
         "vision": init_vision(kv, cfg.vision),
         "text": init_text(kt, cfg.text),
-        "logit_scale": jnp.asarray(4.6052, jnp.float32),  # ln(100)
+        "logit_scale": np.float32(4.6052),  # ln(100)
     }
 
 
-def init_supervised_vit(key: jax.Array, cfg: SupervisedViTConfig) -> dict:
+def init_supervised_vit(key, cfg: SupervisedViTConfig) -> dict:
     """Random init for the supervised ViT MSP-baseline classifier."""
-    ks = jax.random.split(key, 5)
+    rng = _rng_for(key)
     patch_dim = cfg.patch_size * cfg.patch_size * 3
     return {
-        "patch_embed": jax.random.normal(ks[0], (patch_dim, cfg.width),
-                                         jnp.float32) * cfg.width ** -0.5,
-        "patch_bias": jnp.zeros((cfg.width,), jnp.float32),
-        "class_emb": jax.random.normal(ks[1], (cfg.width,),
-                                       jnp.float32) * 0.02,
-        "pos_emb": jax.random.normal(ks[2], (cfg.seq_len, cfg.width),
-                                     jnp.float32) * 0.02,
-        "layers": _stacked_layers(ks[3], cfg.layers, cfg.width, cfg.mlp_ratio),
+        "patch_embed": rng.standard_normal(
+            (patch_dim, cfg.width), dtype=np.float32) * cfg.width ** -0.5,
+        "patch_bias": np.zeros((cfg.width,), np.float32),
+        "class_emb": rng.standard_normal(
+            (cfg.width,), dtype=np.float32) * 0.02,
+        "pos_emb": rng.standard_normal(
+            (cfg.seq_len, cfg.width), dtype=np.float32) * 0.02,
+        "layers": _stacked_layers(rng, cfg.layers, cfg.width, cfg.mlp_ratio),
         "final_ln": _ln(cfg.width),
         "head": {
-            "w": jax.random.normal(ks[4], (cfg.width, cfg.num_classes),
-                                   jnp.float32) * cfg.width ** -0.5,
-            "b": jnp.zeros((cfg.num_classes,), jnp.float32),
+            "w": rng.standard_normal(
+                (cfg.width, cfg.num_classes),
+                dtype=np.float32) * cfg.width ** -0.5,
+            "b": np.zeros((cfg.num_classes,), np.float32),
         },
     }

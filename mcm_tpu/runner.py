@@ -133,8 +133,6 @@ def _build_vit_linear(cfg: RunConfig):
     ``detection_util.py:124-133``): backbone from an HF
     ``google/vit-base-patch16-224`` snapshot; head = the checkpoint's own
     classifier, or a trained linear probe passed via ``--finetune_ckpt``."""
-    import jax
-
     from mcm_tpu.config import SupervisedViTConfig
     from mcm_tpu.models.vit import resolve_vit_params
 
@@ -152,7 +150,7 @@ def _build_vit_linear(cfg: RunConfig):
         warnings.warn("RANDOM WEIGHTS in use — scores are meaningless; "
                       "this mode is for smoke/throughput tests only")
         from mcm_tpu.models.init import init_supervised_vit
-        params = init_supervised_vit(jax.random.key(0), vit_cfg)
+        params = init_supervised_vit(0, vit_cfg)
     if cfg.finetune_ckpt:
         head = np.load(cfg.finetune_ckpt)
         params["head"] = {"w": head["w"].astype(np.float32),
@@ -191,8 +189,7 @@ def build_model_and_step(cfg: RunConfig, log=None):
                 f"--allow_random_weights for smoke runs")
         warnings.warn("RANDOM WEIGHTS in use — scores are meaningless; "
                       "this mode is for smoke/throughput tests only")
-        import jax
-        params = init_clip(jax.random.key(0), clip_cfg)
+        params = init_clip(0, clip_cfg)
 
     tokenizer = CLIPTokenizer.resolve(cfg.ckpt_dir)
     if tokenizer is None:
@@ -275,7 +272,8 @@ def score_dataset(step: EvalStep, params, dataset, text_feats,
         with tel.stage("h2d"):
             images = step.put_batch(batch.images)
         with tel.stage("dispatch"):
-            stream.push(step.score(params, images, text_feats))
+            out = step.score(params, images, text_feats)
+        stream.push(out)  # drains the previous batch under stage("readback")
         valids.append(batch.valid)
         tel.add_images(batch.valid)
     outs = stream.finish()

@@ -62,7 +62,7 @@ def train_clip(cfg: CLIPConfig, dataset, class_names: Sequence[str],
                                              precision=precision, mesh=mesh)
     if params is None:
         from mcm_tpu.models.init import init_clip
-        params = init_clip(jax.random.key(seed), cfg)
+        params = init_clip(seed, cfg)
     state = init_state(params)
 
     prompts = [f"a photo of a {c}" for c in class_names]

@@ -19,10 +19,18 @@ class Telemetry:
         self.stage_counts: Dict[str, int] = defaultdict(int)
         self.images = 0
         self._t0 = time.perf_counter()
+        #: wall clock of the *eval loop*: starts at the first counted image
+        #: so one-time startup (model build/upload, prompt encoding, first
+        #: compile) doesn't pollute the throughput metric.  The 50 s
+        #: random-init incident: a cold CLI run reported 49 img/s while the
+        #: steady-state loop ran at ~200.
+        self._loop_t0: Optional[float] = None
 
     @contextlib.contextmanager
     def stage(self, name: str):
         t = time.perf_counter()
+        if self._loop_t0 is None:
+            self._loop_t0 = t
         try:
             yield
         finally:
@@ -30,6 +38,8 @@ class Telemetry:
             self.stage_counts[name] += 1
 
     def add_images(self, n: int):
+        if self._loop_t0 is None:
+            self._loop_t0 = time.perf_counter()
         self.images += n
 
     @property
@@ -37,11 +47,18 @@ class Telemetry:
         return time.perf_counter() - self._t0
 
     @property
+    def loop_wall(self) -> float:
+        if self._loop_t0 is None:
+            return 0.0
+        return time.perf_counter() - self._loop_t0
+
+    @property
     def images_per_sec(self) -> float:
-        return self.images / max(self.wall, 1e-9)
+        return self.images / max(self.loop_wall, 1e-9)
 
     def report(self) -> str:
         lines = [f"images: {self.images}  wall: {self.wall:.2f}s  "
+                 f"(startup {self.wall - self.loop_wall:.2f}s)  "
                  f"throughput: {self.images_per_sec:.1f} img/s"]
         for name, secs in sorted(self.stage_seconds.items()):
             n = self.stage_counts[name]
