@@ -48,8 +48,11 @@ class OODDetector:
                  image_size: int = 224, n_devices: Optional[int] = 1,
                  model_parallel: int = 1):
         if score == "maha":
-            raise ValueError("maha needs dataset templates; use the batch "
-                             "evaluator (run_eval) to produce them")
+            raise ValueError(
+                "for maha, build with score='MCM' and call "
+                "load_maha_templates(<templates npz from the batch "
+                "evaluator's --template_dir>) — scoring then uses the "
+                "Mahalanobis path")
         cfg = RunConfig(clip_ckpt=clip_ckpt, score=score, T=T,
                         precision=precision, ckpt_dir=ckpt_dir,
                         template_ensemble=template_ensemble,
@@ -71,6 +74,17 @@ class OODDetector:
                                           list(class_names),
                                           cfg.template_ensemble)
         self.threshold: Optional[float] = None
+        self._maha = None  # (mean, precision, normalize) once loaded
+
+    def load_maha_templates(self, path: str, normalize: bool = False
+                            ) -> None:
+        """Switch scoring to Mahalanobis using class means + precision
+        estimated offline by the batch evaluator (``--score maha
+        --generate``, saved under ``--template_dir``)."""
+        data = np.load(path)
+        self._maha = (self.step.put_replicated(data["classwise_mean"]),
+                      self.step.put_replicated(data["precision"]),
+                      normalize)
 
     # -- scoring ---------------------------------------------------------------
 
@@ -99,11 +113,17 @@ class OODDetector:
             b = self._bucket(chunk)
             batch = np.zeros((b,) + images_u8.shape[1:], np.uint8)
             batch[:chunk] = images_u8[done:done + chunk]
-            scores = self.step.score(self.params, self.step.put_batch(batch),
-                                     self.text_feats)
+            scores = self._score_device(self.step.put_batch(batch))
             out[done:done + chunk] = np.asarray(scores)[:chunk]
             done += chunk
         return out
+
+    def _score_device(self, images_device):
+        if self._maha is not None:
+            mu, prec, norm = self._maha
+            feats = self.step.features(self.params, images_device)
+            return self.step.maha(feats, mu, prec, normalize=norm)
+        return self.step.score(self.params, images_device, self.text_feats)
 
     def score_files(self, paths: Sequence[str],
                     num_workers: Optional[int] = None) -> np.ndarray:
@@ -115,9 +135,9 @@ class OODDetector:
         b = self._bucket(len(ds))
         pipe = DataPipeline(ds, b, image_size=self.image_size,
                             num_workers=num_workers, stripe=(0, b))
-        outs = [np.asarray(self.step.score(
-            self.params, self.step.put_batch(batch.images),
-            self.text_feats))[:batch.valid] for batch in pipe]
+        outs = [np.asarray(self._score_device(
+            self.step.put_batch(batch.images)))[:batch.valid]
+            for batch in pipe]
         return np.concatenate(outs)[:len(ds)]
 
     # -- thresholding ----------------------------------------------------------

@@ -71,9 +71,36 @@ def test_score_files_empty(detector):
 
 def test_detector_rejects_maha_and_bad_buckets():
     from mcm_tpu.serve import OODDetector
-    with pytest.raises(ValueError, match="maha"):
+    with pytest.raises(ValueError, match="load_maha_templates"):
         OODDetector(class_names=["a"], score="maha",
                     allow_random_weights=True)
     with pytest.raises(ValueError, match="not divisible"):
         OODDetector(class_names=["a"], allow_random_weights=True,
                     batch_sizes=(3,), n_devices=2)
+
+
+def test_maha_serving(detector, tmp_path):
+    """Templates from the batch evaluator drive Mahalanobis serving;
+    scores must match the direct mahalanobis_score computation."""
+    from mcm_tpu.scores.mahalanobis import mahalanobis_score
+
+    rng = np.random.default_rng(3)
+    d = 512  # B/16 joint space
+    mu = rng.standard_normal((3, d)).astype(np.float32)
+    a = rng.standard_normal((d, d)).astype(np.float32)
+    prec = (np.eye(d) * 1.0 + 0.01 * (a @ a.T) / d).astype(np.float32)
+    path = tmp_path / "templates_test.npz"
+    np.savez(path, classwise_mean=mu, precision=prec)
+
+    imgs = rng.integers(0, 256, size=(4, 224, 224, 3), dtype=np.uint8)
+    mcm_scores = detector.score_images(imgs)
+    detector.load_maha_templates(str(path))
+    try:
+        maha = detector.score_images(imgs)
+        feats = np.asarray(detector.step.features(
+            detector.params, detector.step.put_batch(imgs)))
+        expect = np.asarray(mahalanobis_score(feats, mu, prec))
+        np.testing.assert_allclose(maha, expect, rtol=1e-4, atol=1e-4)
+        assert not np.allclose(maha, mcm_scores)
+    finally:
+        detector._maha = None  # restore for other tests (module fixture)
