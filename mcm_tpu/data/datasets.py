@@ -36,12 +36,18 @@ def download_and_extract(url: str, root: str, md5: Optional[str] = None,
     os.makedirs(root, exist_ok=True)
     fname = os.path.join(root, url.rsplit("/", 1)[1])
     if not os.path.exists(fname):
+        part = fname + ".part"
         try:
-            urllib.request.urlretrieve(url, fname)
-        except OSError as e:
-            raise RuntimeError(
-                f"could not download {url} ({e}); place the archive at "
-                f"{fname} manually in egress-free environments") from e
+            urllib.request.urlretrieve(url, part)
+            os.replace(part, fname)
+        except BaseException as e:  # incl. KeyboardInterrupt: no truncated
+            if os.path.exists(part):  # archive left behind to poison reruns
+                os.remove(part)
+            if isinstance(e, OSError):
+                raise RuntimeError(
+                    f"could not download {url} ({e}); place the archive at "
+                    f"{fname} manually in egress-free environments") from e
+            raise
     if md5 and _md5(fname) != md5:
         raise RuntimeError(f"md5 mismatch for {fname}")
     dest = extract_root or root

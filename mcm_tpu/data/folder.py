@@ -39,7 +39,6 @@ class ImageFolder:
             label = self.class_to_idx[cls]
             for dirpath, dirnames, filenames in sorted(os.walk(cdir,
                                                                followlinks=True)):
-                dirnames.sort()
                 for fname in sorted(filenames):
                     if fname.lower().endswith(exts):
                         self.samples.append(

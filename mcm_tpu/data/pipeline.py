@@ -81,9 +81,12 @@ class DataPipeline:
             import sys
             jax = sys.modules.get("jax")
             if jax is not None:
-                from jax._src import xla_bridge
-                if (xla_bridge.backends_are_initialized()
-                        and jax.process_count() > 1):
+                try:  # private API — a jax upgrade must degrade gracefully
+                    from jax._src import xla_bridge
+                    initialized = xla_bridge.backends_are_initialized()
+                except Exception:
+                    initialized = True  # can't tell; process_count decides
+                if initialized and jax.process_count() > 1:
                     from mcm_tpu.parallel.multihost import batch_stripe
                     stripe = batch_stripe(batch_size)
         self.stripe = stripe

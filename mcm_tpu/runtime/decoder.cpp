@@ -42,8 +42,8 @@ void error_exit(j_common_ptr cinfo) {
 }
 
 // Decode a JPEG file into an RGB buffer. Returns false on any failure.
-// In fast mode, asks libjpeg for the smallest DCT scale that still leaves
-// both sides >= 2*out_size (enough resolution for a clean downfilter).
+// In fast mode, asks libjpeg for the smallest M/8 DCT scale that keeps the
+// shorter side >= out_size; the triangle downfilter finishes the job.
 bool decode_jpeg(const char* path, int out_size, bool fast,
                  std::vector<unsigned char>& rgb, int& w, int& h) {
   FILE* f = std::fopen(path, "rb");

@@ -44,8 +44,15 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _failed:
             return _lib
-        if not os.path.exists(_SO) or (os.path.getmtime(_SO)
-                                       < os.path.getmtime(_SRC)):
+        stale = (os.path.exists(_SRC)
+                 and os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+                 if os.path.exists(_SO) else True)
+        if stale:
+            if not os.path.exists(_SRC):  # prebuilt .so shipped w/o source
+                _failed = True
+                warnings.warn("native decoder source missing and no "
+                              "prebuilt library; falling back to PIL")
+                return None
             if not _build():
                 _failed = True
                 return None

@@ -45,6 +45,13 @@ def estimate_mean_precision(features: np.ndarray, labels: np.ndarray,
     if normalize:  # --normalize flag (:162-163)
         feats = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
 
+    counts = np.bincount(labels, minlength=n_cls)
+    if (counts[:n_cls] == 0).any():
+        empty = np.flatnonzero(counts[:n_cls] == 0)
+        raise ValueError(
+            f"no training samples for class indices {empty.tolist()[:10]} "
+            f"— a NaN class mean would poison every Mahalanobis score; "
+            f"check the train split / --subset settings")
     classwise_mean = np.zeros((n_cls, feats.shape[1]), dtype=np.float64)
     for c in range(n_cls):
         classwise_mean[c] = feats[labels == c].mean(axis=0)

@@ -55,10 +55,12 @@ def make_odin_clip_perturb(encode_image_fn: Callable, text_feats: jax.Array,
     """
 
     def logits_fn(images):
-        feats = encode_image_fn(images)
-        feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
-        return jnp.dot(feats.astype(jnp.float32),
-                       text_feats.astype(jnp.float32).T) / T
+        from mcm_tpu.scores.clip_scores import l2_normalize
+        feats = l2_normalize(encode_image_fn(images).astype(jnp.float32))
+        # "highest": the perturbation is sign(grad) — a bf16-like default
+        # matmul on CPU can flip signs near zero (CLAUDE.md precision note)
+        return jnp.dot(feats, text_feats.astype(jnp.float32).T,
+                       precision="highest") / T
 
     @jax.jit
     def perturb(images):

@@ -18,8 +18,10 @@ def prepare_dataframe(captions_dir: str = "gen_captions",
                       dataset_name: str = "imagenet_val",
                       multiple: bool = False):
     """Load a generated-captions TSV into a DataFrame with columns
-    (image_id, caption, cls); with ``multiple=True`` deduplicates to one
-    row set per image id (reference ``file_ops.py:54-64``)."""
+    (image_id, caption, cls).  ``multiple=True`` reproduces the
+    reference's branch verbatim (``file_ops.py:54-64``) — which is a
+    no-op (isin over the full id set keeps every row); preserved for
+    behavioral parity, not because it deduplicates anything."""
     import pandas as pd
 
     path = os.path.join(captions_dir, f"{dataset_name}_captions.tsv")

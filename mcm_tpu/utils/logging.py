@@ -11,6 +11,8 @@ import os
 def setup_log(log_directory: str, name: str = "eval_ood") -> logging.Logger:
     os.makedirs(log_directory, exist_ok=True)
     log = logging.getLogger(f"mcm_tpu.{name}")
+    for h in log.handlers:  # close before dropping — repeated setup_log
+        h.close()           # calls must not leak file descriptors
     log.handlers.clear()
     formatter = logging.Formatter("%(asctime)s : %(message)s")
     fh = logging.FileHandler(os.path.join(log_directory, "ood_eval_info.log"),

@@ -20,6 +20,7 @@ def save_as_dataframe(log_directory: str, name: str,
                       out_datasets: Sequence[str], fpr_list: Sequence[float],
                       auroc_list: Sequence[float],
                       aupr_list: Sequence[float]) -> str:
+    os.makedirs(log_directory, exist_ok=True)
     fpr = [float("{:.2f}".format(100 * v)) for v in fpr_list]
     auroc = [float("{:.2f}".format(100 * v)) for v in auroc_list]
     aupr = [float("{:.2f}".format(100 * v)) for v in aupr_list]
