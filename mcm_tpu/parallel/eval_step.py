@@ -109,14 +109,15 @@ class EvalStep(_Placement):
                 # ``detection_util.py:122-146``): nudge the normalized
                 # pixels against the NLL gradient sign, then score the
                 # perturbed batch with temperature-scaled max-softmax.
-                from mcm_tpu.scores.odin import odin_perturb
+                # The logits fn is the shared helper so its grad-sign
+                # precision guard ("highest" matmul) applies here too.
+                from mcm_tpu.scores.odin import (clip_odin_logits_fn,
+                                                 odin_perturb)
 
-                def logits_fn(xi):
-                    f = jclip.encode_image(params, cfg.vision, xi,
-                                           self.precision)
-                    f = l2_normalize(f.astype(jnp.float32))
-                    return f @ text_feats.T / self.T
-
+                logits_fn = clip_odin_logits_fn(
+                    lambda xi: jclip.encode_image(params, cfg.vision, xi,
+                                                  self.precision),
+                    text_feats, self.T)
                 x = odin_perturb(logits_fn, x, self.noise_magnitude,
                                  std=CLIP_STD)
             feats = jclip.encode_image(params, cfg.vision, x, self.precision)

@@ -321,7 +321,10 @@ def _maha_templates(cfg: RunConfig, step: EvalStep, params, log):
                                            normalize=cfg.normalize)
         cond = np.linalg.cond(prec)
         log.debug(f"cond number: {cond}")  # reference prints this (:174)
-        np.savez(path, classwise_mean=mu, precision=prec)
+        # normalize is recorded so downstream consumers (serve.py's
+        # load_maha_templates) can't silently score with the wrong flag
+        np.savez(path, classwise_mean=mu, precision=prec,
+                 normalize=cfg.normalize)
     data = np.load(path)
     return (step.put_replicated(data["classwise_mean"]),
             step.put_replicated(data["precision"]))

@@ -45,14 +45,14 @@ def odin_perturb(logits_fn: Callable[[jax.Array], jax.Array],
     return images - noise_magnitude * sign
 
 
-def make_odin_clip_perturb(encode_image_fn: Callable, text_feats: jax.Array,
-                           T: float = 1.0,
-                           noise_magnitude: float = 0.0014):
-    """ODIN perturbation bound to a CLIP image tower + cached text features.
+def clip_odin_logits_fn(encode_image_fn: Callable, text_feats: jax.Array,
+                        T: float = 1.0) -> Callable:
+    """The differentiable logits function ODIN perturbs against for CLIP:
+    encode → L2-normalize → matmul with cached text features → /T.
 
-    ``encode_image_fn(normalized_images) → [B, D]`` raw image features.
-    Returns a jittable ``perturb(images) → images`` closure.
-    """
+    The single definition shared by every CLIP ODIN path (the eval step's
+    in-program perturbation and :func:`make_odin_clip_perturb`) so the
+    precision fix below cannot regress on one side only."""
 
     def logits_fn(images):
         from mcm_tpu.scores.clip_scores import l2_normalize
@@ -61,6 +61,19 @@ def make_odin_clip_perturb(encode_image_fn: Callable, text_feats: jax.Array,
         # matmul on CPU can flip signs near zero (CLAUDE.md precision note)
         return jnp.dot(feats, text_feats.astype(jnp.float32).T,
                        precision="highest") / T
+
+    return logits_fn
+
+
+def make_odin_clip_perturb(encode_image_fn: Callable, text_feats: jax.Array,
+                           T: float = 1.0,
+                           noise_magnitude: float = 0.0014):
+    """ODIN perturbation bound to a CLIP image tower + cached text features.
+
+    ``encode_image_fn(normalized_images) → [B, D]`` raw image features.
+    Returns a jittable ``perturb(images) → images`` closure.
+    """
+    logits_fn = clip_odin_logits_fn(encode_image_fn, text_feats, T)
 
     @jax.jit
     def perturb(images):

@@ -25,7 +25,8 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from mcm_tpu.runner import RunConfig, _encode_prompts, build_model_and_step
+from mcm_tpu.runner import (RunConfig, _StreamReadback, _encode_prompts,
+                            build_model_and_step)
 
 
 class OODDetector:
@@ -76,12 +77,29 @@ class OODDetector:
         self.threshold: Optional[float] = None
         self._maha = None  # (mean, precision, normalize) once loaded
 
-    def load_maha_templates(self, path: str, normalize: bool = False
-                            ) -> None:
+    def load_maha_templates(self, path: str,
+                            normalize: Optional[bool] = None) -> None:
         """Switch scoring to Mahalanobis using class means + precision
         estimated offline by the batch evaluator (``--score maha
-        --generate``, saved under ``--template_dir``)."""
+        --generate``, saved under ``--template_dir``).
+
+        Whether the templates were estimated over L2-normalized features
+        (the evaluator's ``--normalize``) is read from the npz itself;
+        scoring with the wrong flag is silent corruption, so a mismatching
+        explicit ``normalize=`` raises."""
         data = np.load(path)
+        stored = bool(data["normalize"]) if "normalize" in data else None
+        if normalize is None:
+            if stored is None:
+                raise ValueError(
+                    f"{path} records no 'normalize' flag (template cache "
+                    f"predates it); pass normalize= matching the "
+                    f"evaluator's --normalize setting explicitly")
+            normalize = stored
+        elif stored is not None and normalize != stored:
+            raise ValueError(
+                f"normalize={normalize} contradicts the templates at "
+                f"{path}, which were estimated with normalize={stored}")
         self._maha = (self.step.put_replicated(data["classwise_mean"]),
                       self.step.put_replicated(data["precision"]),
                       normalize)
@@ -127,18 +145,24 @@ class OODDetector:
 
     def score_files(self, paths: Sequence[str],
                     num_workers: Optional[int] = None) -> np.ndarray:
-        """Decode (native C++ pipeline, PIL fallback) + score image files."""
-        from mcm_tpu.data.pipeline import DataPipeline
+        """Decode (native C++ pipeline, PIL fallback) + score image files.
+
+        Streams with the evaluator's one-batch-behind readback so decode,
+        H2D, device compute, and D2H overlap (a synchronous per-batch
+        readback costs a full tunnel RPC round trip per batch)."""
+        from mcm_tpu.data.pipeline import DataPipeline, collect_scores
         ds = [(p, 0) for p in paths]
         if not ds:
             return np.zeros((0,), np.float32)
         b = self._bucket(len(ds))
         pipe = DataPipeline(ds, b, image_size=self.image_size,
                             num_workers=num_workers, stripe=(0, b))
-        outs = [np.asarray(self._score_device(
-            self.step.put_batch(batch.images)))[:batch.valid]
-            for batch in pipe]
-        return np.concatenate(outs)[:len(ds)]
+        stream = _StreamReadback()
+        valids = []
+        for batch in pipe:
+            stream.push(self._score_device(self.step.put_batch(batch.images)))
+            valids.append(batch.valid)
+        return collect_scores(stream.finish(), valids, len(ds))
 
     # -- thresholding ----------------------------------------------------------
 

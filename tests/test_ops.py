@@ -42,6 +42,19 @@ def test_pallas_attention_bf16(rng):
         rtol=0.05, atol=0.05)
 
 
+@pytest.mark.parametrize("h,block_h", [(12, 6), (16, 6), (12, 12)])
+def test_pallas_mh_attention_matches_xla(rng, h, block_h):
+    """Real-chip only: the head-grouped kernel's in-kernel ``fori_loop``
+    hangs interpret mode (CLAUDE.md), so this runs when the suite is
+    pointed at a TPU; ``tools/check_pallas_mh.py`` is the standalone
+    driver (last verified on v5e: max|Δ| ≤ 3e-2 at bf16, incl. the
+    16-head tail-group edge-padding case)."""
+    if jax.default_backend() == "cpu":
+        pytest.skip("fori_loop kernels hang interpret mode; TPU only")
+    from tools.check_pallas_mh import check
+    check(b=2, h=h, s=197, dh=64, block_h=block_h)
+
+
 @pytest.mark.parametrize("shape", [(2, 4, 197, 64), (1, 2, 120, 64)])
 def test_flash_attention_matches_xla(rng, shape):
     """The jax FlashAttention wrapper: pad-to-128-multiple + segment-id

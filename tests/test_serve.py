@@ -90,10 +90,19 @@ def test_maha_serving(detector, tmp_path):
     a = rng.standard_normal((d, d)).astype(np.float32)
     prec = (np.eye(d) * 1.0 + 0.01 * (a @ a.T) / d).astype(np.float32)
     path = tmp_path / "templates_test.npz"
-    np.savez(path, classwise_mean=mu, precision=prec)
+    np.savez(path, classwise_mean=mu, precision=prec, normalize=False)
 
     imgs = rng.integers(0, 256, size=(4, 224, 224, 3), dtype=np.uint8)
     mcm_scores = detector.score_images(imgs)
+    # the stored normalize flag is authoritative: a contradicting explicit
+    # value raises rather than silently scoring with the wrong geometry
+    with pytest.raises(ValueError, match="contradicts"):
+        detector.load_maha_templates(str(path), normalize=True)
+    # a flagless (pre-round-2) cache demands an explicit choice
+    legacy = tmp_path / "templates_legacy.npz"
+    np.savez(legacy, classwise_mean=mu, precision=prec)
+    with pytest.raises(ValueError, match="normalize"):
+        detector.load_maha_templates(str(legacy))
     detector.load_maha_templates(str(path))
     try:
         maha = detector.score_images(imgs)
