@@ -17,6 +17,10 @@ Prints ONE JSON line; headline keys:
   e2e_img_per_sec    decode-included: the production DataPipeline feeding
                      the same device step from real JPEG files (synthetic
                      tree, cached under /tmp) — honest end-to-end number
+  e2e_transfer_ceiling_img_per_sec
+                     the identical loop with decode removed — the host↔
+                     device transfer ceiling the e2e number runs under
+                     (the dev tunnel's H2D rate varies day to day)
   window_img_per_sec all measurement windows (spread = contention check;
                      this chip is shared across processes, CLAUDE.md)
 """
@@ -174,7 +178,7 @@ def main():
            / (V5E_PEAK_BF16_TFLOPS * 1e12) * 100)
 
     # decode-included end-to-end: production pipeline from JPEG files
-    e2e = None
+    e2e = ceiling = None
     if os.environ.get("MCM_BENCH_E2E", "1") != "0":
         from mcm_tpu.data import DataPipeline
         paths = ensure_jpeg_tree(E2E_IMAGES)
@@ -193,6 +197,24 @@ def main():
             np.asarray(pending.popleft())
         e2e = round(n_imgs / (time.perf_counter() - t0) / n_dev, 1)
 
+        # the same loop with decode removed = the host↔device transfer
+        # ceiling (dev-tunnel H2D varies day to day: 281 → 164 img/s
+        # observed) — e2e is honest only next to the ceiling it runs under
+        host_batches = [rng.integers(0, 256, size=(batch, 224, 224, 3),
+                                     dtype=np.uint8) for _ in range(3)]
+        n_iters = max(3, E2E_IMAGES // batch)
+        pending = deque()
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            pending.append(step.score(
+                params, step.put_batch(host_batches[i % 3]), text))
+            if len(pending) > 1:
+                np.asarray(pending.popleft())
+        while pending:
+            np.asarray(pending.popleft())
+        ceiling = round(batch * n_iters / (time.perf_counter() - t0)
+                        / n_dev, 1)
+
     print(json.dumps({
         "metric": "images_per_sec_per_chip",
         "value": round(per_chip, 1),
@@ -200,6 +222,7 @@ def main():
         "vs_baseline": round(per_chip / A100_REFERENCE_IMG_PER_SEC, 3),
         "mfu_pct": round(mfu, 1),
         "e2e_img_per_sec": e2e,
+        "e2e_transfer_ceiling_img_per_sec": ceiling,
         "window_img_per_sec": [round(w / n_dev, 1) for w in windows],
         "window_spread_pct": round(spread, 1),
         "contending_procs": contending_processes(cpu_before,
