@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Full-CLI soak at ImageNet scale on the real TPU.
+
+Synthesizes (and caches under /tmp) an ImageNet-layout tree — ID val split
+plus the four default OOD sets (reference pairing,
+``/root/reference/eval_ood_detection.py:63-68``) — then runs the REAL
+``eval_ood_detection.py`` subprocess twice:
+
+1. cold: 1000-prompt text encode, ID + 4 OOD sweeps, accuracy diagnostic,
+   CSV/log/plot artifacts;
+2. ``--resume``: must reuse every cached score/feature file and finish
+   much faster (no per-dataset extraction).
+
+Random weights (egress-free), so metrics are chance-level; the soak
+validates *mechanics at scale* — batch/truncation bookkeeping across
+datasets, artifact completeness, resume — and reports steady-state
+throughput from the run log.
+
+Usage: python tools/scale_soak.py [--id-images 10000] [--ood-images 2048]
+"""
+
+import argparse
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+OOD_SETS = ["iNaturalist", "SUN", "places365", "dtd"]
+OOD_DIRS = {"iNaturalist": "iNaturalist", "SUN": "SUN",
+            "places365": "Places", "dtd": os.path.join("dtd", "images")}
+
+
+def build_tree(root: str, id_images: int, ood_images: int) -> None:
+    from util_synth import make_imagefolder_tree
+    marker = os.path.join(root, f".soak_{id_images}_{ood_images}")
+    if os.path.exists(marker):
+        print(f"tree cached: {root}")
+        return
+    n_cls = 40
+    wnids = [f"n{i:08d}" for i in range(1, n_cls + 1)]
+    print(f"building {id_images} ID + 4×{ood_images} OOD JPEGs …")
+    make_imagefolder_tree(os.path.join(root, "ImageNet", "val"), wnids,
+                          per_class=id_images // n_cls, seed=1)
+    for k, name in enumerate(OOD_SETS):
+        make_imagefolder_tree(
+            os.path.join(root, "ImageNet_OOD_dataset", OOD_DIRS[name]),
+            [f"ood_{k}_{c}" for c in range(8)],
+            per_class=ood_images // 8, seed=100 + k, color_bias=40 * k)
+    open(marker, "w").close()
+
+
+def run_cli(root: str, extra, name: str) -> float:
+    cmd = [sys.executable, os.path.join(REPO, "eval_ood_detection.py"),
+           "--in_dataset", "ImageNet", "--root-dir", root,
+           "--score", "MCM", "--CLIP_ckpt", "ViT-B/16", "-b", "512",
+           "--allow_random_weights", "--eval_accuracy",
+           "--name", "soak"] + extra
+    t0 = time.perf_counter()
+    proc = subprocess.run(cmd, cwd=root, capture_output=True, text=True)
+    dt = time.perf_counter() - t0
+    tail = (proc.stdout + proc.stderr)[-3000:]
+    if proc.returncode != 0:
+        print(tail)
+        raise SystemExit(f"{name}: CLI failed rc={proc.returncode}")
+    log_dir = os.path.join(root, "results", "ImageNet", "MCM",
+                           "CLIP_ViT-B/16_T_1_ID_soak")
+    missing = [f for f in
+               ["soak.csv", "ood_eval_info.log", "ID_ImageNet_scores.npy",
+                "ID_ImageNet_features.npz"]
+               + [f"{d}_scores.npy" for d in OOD_SETS]
+               + [f"MCM_{d}.png" for d in OOD_SETS]
+               if not os.path.exists(os.path.join(log_dir, f))]
+    if missing:
+        raise SystemExit(f"{name}: missing artifacts: {missing}")
+    csv = open(os.path.join(log_dir, "soak.csv")).read().splitlines()
+    assert len(csv) == 1 + len(OOD_SETS) + 1, csv  # header + sets + AVG
+    log = open(os.path.join(log_dir, "ood_eval_info.log")).read()
+    m = re.search(r"throughput: ([\d.]+) img/s", log)
+    thr = float(m.group(1)) if m else float("nan")
+    acc = re.search(r"zero-shot accuracy: (top1 [\d.]+% top5 [\d.]+%)", log)
+    print(f"{name}: wall {dt:.1f}s, loop throughput {thr:.1f} img/s, "
+          f"{acc.group(1) if acc else 'no accuracy line'}")
+    return dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--id-images", type=int, default=10000)
+    ap.add_argument("--ood-images", type=int, default=2048)
+    ap.add_argument("--root", default="/tmp/mcm_soak_tree")
+    args = ap.parse_args()
+
+    build_tree(args.root, args.id_images, args.ood_images)
+    cold = run_cli(args.root, [], "cold")
+    warm = run_cli(args.root, ["--resume"], "resume")
+    n = args.id_images + len(OOD_SETS) * args.ood_images
+    print(f"soak OK: {n} images; resume {warm:.1f}s vs cold {cold:.1f}s "
+          f"({cold / max(warm, 1e-9):.1f}× faster)")
+    if warm > 0.7 * cold:
+        raise SystemExit("resume did not reuse cached scores (too slow)")
+
+
+if __name__ == "__main__":
+    main()
