@@ -1,2 +1,3 @@
-from mcm_tpu.metrics.ood_metrics import (fpr_at_recall, get_measures,
-                                         print_measures)  # noqa: F401
+from mcm_tpu.metrics.ood_metrics import (fpr_at_recall,  # noqa: F401
+                                         get_and_print_results, get_measures,
+                                         print_measures)

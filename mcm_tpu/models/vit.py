@@ -133,10 +133,8 @@ def convert_hf_vit(sd: Dict[str, np.ndarray],
     n = cfg.layers
 
     def stack(tmpl, transpose):
-        mats = [sd[tmpl.format(i)] for i in range(n)]
-        if transpose:
-            mats = [m.T for m in mats]
-        return np.stack(mats).astype(np.float32)
+        from mcm_tpu.models.convert import _stack
+        return _stack(sd, tmpl, n, transpose)
 
     pre = "vit.encoder.layer.{}"
     layers = {

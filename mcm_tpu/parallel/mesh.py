@@ -33,6 +33,11 @@ def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1,
     """(data × model) mesh over the available devices."""
     devs = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
+        if n_devices > len(devs):
+            raise ValueError(
+                f"requested n_devices={n_devices} but only {len(devs)} "
+                f"JAX devices are visible ({jax.default_backend()} backend)"
+                f" — a silent fallback would misattribute throughput")
         devs = devs[:n_devices]
     n = len(devs)
     if n % model_parallel:

@@ -29,7 +29,7 @@ from mcm_tpu.data import (DataPipeline, default_out_datasets,
                           get_test_labels, set_ood_loader, set_train_loader,
                           set_val_loader)
 from mcm_tpu.parallel.multihost import assemble_global_outputs, read_local
-from mcm_tpu.metrics import get_measures, print_measures
+from mcm_tpu.metrics import get_and_print_results, print_measures
 from mcm_tpu.models.convert import resolve_clip_params
 from mcm_tpu.models.init import init_clip
 from mcm_tpu.parallel import EvalStep, VitLinearStep, make_mesh
@@ -304,8 +304,13 @@ def _maha_templates(cfg: RunConfig, step: EvalStep, params, log):
     # the checkpoint name is part of the tag — the reference's naming
     # ({model}_..., model='CLIP') lets B/16 and B/32 share 512-d templates
     ckpt_tag = cfg.clip_ckpt.replace("/", "-")
+    # beyond the reference's tag ({model}_{in_dataset}_{max_count}_
+    # {normalize}, detection_util.py:175): the checkpoint name AND the
+    # subset flag are part of it — the reference lets full-train-set and
+    # 250-per-class templates collide at one path (max_count is in the
+    # name even when the subset option is off)
     tag = (f"{cfg.model}_{ckpt_tag}_{cfg.in_dataset}_{cfg.max_count}_"
-           f"{cfg.normalize}")
+           f"{cfg.normalize}" + ("_subset" if cfg.subset else ""))
     path = os.path.join(cfg.template_dir, f"templates_{tag}.npz")
     if not cfg.generate and not os.path.exists(path):
         raise FileNotFoundError(
@@ -464,14 +469,11 @@ def run_eval(cfg: RunConfig) -> Dict[str, Dict[str, float]]:
         log.debug(f"out scores: {stats.describe(out_score)}")
         plot_distribution(cfg.log_directory, cfg.score, out_dataset,
                           in_score, out_score)
-        auroc, aupr, fpr = get_measures(-in_score, -out_score)
-        print(f"in score samples (random sampled): {in_score[:3]}, "
-              f"out score samples: {out_score[:3]}")
-        print_measures(log, auroc, aupr, fpr, cfg.score)
-        auroc_list.append(auroc)
-        aupr_list.append(aupr)
-        fpr_list.append(fpr)
-        results[out_dataset] = {"FPR95": fpr, "AUROC": auroc, "AUPR": aupr}
+        get_and_print_results(cfg, log, in_score, out_score,
+                              auroc_list, aupr_list, fpr_list)
+        results[out_dataset] = {"FPR95": fpr_list[-1],
+                                "AUROC": auroc_list[-1],
+                                "AUPR": aupr_list[-1]}
 
     log.debug("\n\nMean Test Results")
     print_measures(log, float(np.mean(auroc_list)), float(np.mean(aupr_list)),

@@ -123,6 +123,16 @@ class OODDetector:
                 f"scale float inputs by 255 and cast explicitly")
         if images_u8.ndim == 3:
             images_u8 = images_u8[None]
+        s = self.image_size
+        if images_u8.shape[1:] != (s, s, 3):
+            # a foreign shape would silently retrace+recompile per shape
+            # (~60 s each on a tunneled dev TPU) and then fail opaquely on
+            # the positional embeddings — reject at the API boundary
+            raise ValueError(
+                f"expected [N, {s}, {s}, 3] preprocessed uint8 images "
+                f"(detector built with image_size={s}), got "
+                f"{images_u8.shape}; decode+resize via score_files or "
+                f"mcm_tpu.data.DataPipeline first")
         n = images_u8.shape[0]
         out = np.empty((n,), np.float32)
         done = 0

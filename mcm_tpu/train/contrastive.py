@@ -96,10 +96,18 @@ def make_train_step(cfg: CLIPConfig,
         return TrainState(params, opt_state, state.step + 1), loss
 
     def init_state(params) -> TrainState:
+        # place params on the mesh with the TP shardings HERE (no-op when
+        # the caller pre-sharded): jitted_step's in_shardings=None inherits
+        # whatever the state carries, so un-placed host params would
+        # otherwise replicate params + both AdamW moments on every chip —
+        # exactly the memory the TP axis exists to save.  Optimizer moments
+        # are zeros_like(params) and inherit the placement.
+        from mcm_tpu.parallel.multihost import put_global
+        params = jax.tree_util.tree_map(
+            lambda x, s: put_global(jnp.asarray(x), s), params, param_sh)
         return TrainState(params, optimizer.init(params),
                           jnp.zeros((), jnp.int32))
 
-    opt_sh = None  # optimizer state sharding mirrors params; let jit infer
     jitted_step = jax.jit(
         train_step,
         in_shardings=(None, batch_sh, batch_sh, batch_sh),

@@ -1,6 +1,8 @@
 """Seeding (reference ``utils/common.py:9-13`` seeds torch/cuda/numpy/random;
-here: numpy + python random + a JAX key factory — JAX randomness is
-explicitly keyed, not global)."""
+here: numpy + python random only — JAX randomness is explicitly keyed at
+use sites.  Deliberately NO ``jax.random.key`` here: key creation dispatches
+a device program, which on the tunneled dev TPU costs a ~60 s first-use
+remote load (CLAUDE.md; the same pathology the numpy param init removed)."""
 
 from __future__ import annotations
 
@@ -9,9 +11,7 @@ import random
 import numpy as np
 
 
-def setup_seed(seed: int):
-    """Seed host RNGs; returns a jax.random key for device randomness."""
+def setup_seed(seed: int) -> None:
+    """Seed host RNGs."""
     np.random.seed(seed)
     random.seed(seed)
-    import jax
-    return jax.random.key(seed)

@@ -120,3 +120,7 @@ def test_param_specs_cover_param_tree(params):
 def test_mesh_validation():
     with pytest.raises(ValueError):
         make_mesh(6, model_parallel=4)
+    # requesting more devices than exist must raise, not silently shrink
+    # (a 1-chip fallback would misattribute 8-chip throughput)
+    with pytest.raises(ValueError, match="visible"):
+        make_mesh(len(jax.devices()) + 1)

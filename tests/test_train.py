@@ -69,6 +69,34 @@ def test_train_step_sharded_matches_single(rng):
     assert l1 == pytest.approx(l8, rel=1e-5)
 
 
+def test_init_state_applies_tp_shardings(rng):
+    """init_state must place UN-sharded host params (the train_clip path)
+    with the TP param shardings — params, gradients, and both AdamW
+    moments otherwise replicate on every chip, defeating the model axis."""
+    from mcm_tpu.parallel.mesh import MODEL_AXIS
+
+    mesh = make_mesh(8, model_parallel=4)
+    init_state, step = make_train_step(TINY, precision=Precision.parity(),
+                                       mesh=mesh)
+    state = init_state(init_clip(0, TINY))  # plain numpy pytree in
+
+    def model_sharded(x):
+        spec = getattr(x.sharding, "spec", ())
+        return any(MODEL_AXIS in (s if isinstance(s, tuple) else (s,))
+                   for s in spec if s is not None)
+
+    wq = state.params["vision"]["layers"]["attn"]["wq"]
+    assert model_sharded(wq), wq.sharding
+    # optimizer moments inherit the placement (zeros_like over params)
+    mus = [l for l in jax.tree_util.tree_leaves(state.opt_state)
+           if getattr(l, "shape", None) == wq.shape]
+    assert mus and all(model_sharded(m) for m in mus)
+    # and the step still runs from this state
+    images, ids, mask = _batch(rng)
+    state, loss = step(state, images, ids, mask)
+    assert np.isfinite(float(loss))
+
+
 def test_remat_matches_no_remat(rng):
     params = init_clip(jax.random.key(0), TINY)
     images, ids, mask = _batch(rng)
