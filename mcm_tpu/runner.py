@@ -283,22 +283,29 @@ def score_dataset(step: EvalStep, params, dataset, text_feats,
     return assemble_global_outputs(outs, valids, min(total, sum(valids)))
 
 
-def extract_features(step: EvalStep, params, dataset, cfg: RunConfig
-                     ) -> tuple:
+def extract_features(step: EvalStep, params, dataset, cfg: RunConfig,
+                     telemetry: Optional[Telemetry] = None) -> tuple:
     """All image features + labels for a dataset (Mahalanobis templates)."""
-    stream = _StreamReadback()
+    tel = telemetry or Telemetry()
+    stream = _StreamReadback(tel)
     pipe = _make_pipe(dataset, cfg)
     valids, labels = [], []
     for batch in pipe:
-        stream.push(step.features(params, step.put_batch(batch.images)))
+        with tel.stage("h2d"):
+            images = step.put_batch(batch.images)
+        with tel.stage("dispatch"):
+            out = step.features(params, images)
+        stream.push(out)
         valids.append(batch.valid)
         labels.append(batch.labels)
+        tel.add_images(batch.valid)
     total = min(pipe.num_samples, sum(valids))
     feats = assemble_global_outputs(stream.finish(), valids, total)
     return feats, assemble_global_outputs(labels, valids, total)
 
 
-def _maha_templates(cfg: RunConfig, step: EvalStep, params, log):
+def _maha_templates(cfg: RunConfig, step: EvalStep, params, log,
+                    telemetry: Optional[Telemetry] = None):
     """Estimate or load class means + precision (reference ``main:72-78``)."""
     os.makedirs(cfg.template_dir, exist_ok=True)
     # the checkpoint name is part of the tag — the reference's naming
@@ -320,7 +327,8 @@ def _maha_templates(cfg: RunConfig, step: EvalStep, params, log):
         train_ds = set_train_loader(cfg.in_dataset, cfg.root_dir,
                                     subset=cfg.subset,
                                     max_count=cfg.max_count)
-        feats, labels = extract_features(step, params, train_ds, cfg)
+        feats, labels = extract_features(step, params, train_ds, cfg,
+                                         telemetry)
         n_cls = len(get_test_labels(cfg.in_dataset, train_ds))
         mu, prec = estimate_mean_precision(feats, labels, n_cls,
                                            normalize=cfg.normalize)
@@ -336,17 +344,24 @@ def _maha_templates(cfg: RunConfig, step: EvalStep, params, log):
 
 
 def maha_score_dataset(step: EvalStep, params, dataset, mu, prec,
-                       cfg: RunConfig, in_dist: bool) -> np.ndarray:
+                       cfg: RunConfig, in_dist: bool,
+                       telemetry: Optional[Telemetry] = None) -> np.ndarray:
     """Mahalanobis scoring pass.  Reference quirk preserved: OOD passes drop
     the final partial batch (``detection_util.py:189``)."""
+    tel = telemetry or Telemetry()
     drop = not in_dist
     pipe = _make_pipe(dataset, cfg, drop_remainder=drop)
-    stream = _StreamReadback()
+    stream = _StreamReadback(tel)
     valids = []
     for batch in pipe:
-        f = step.features(params, step.put_batch(batch.images))
-        stream.push(step.maha(f, mu, prec, normalize=cfg.normalize))
+        with tel.stage("h2d"):
+            images = step.put_batch(batch.images)
+        with tel.stage("dispatch"):
+            f = step.features(params, images)
+            out = step.maha(f, mu, prec, normalize=cfg.normalize)
+        stream.push(out)
         valids.append(batch.valid)
+        tel.add_images(batch.valid)
     total = len(pipe) * cfg.batch_size if drop else pipe.num_samples
     return assemble_global_outputs(stream.finish(), valids,
                                    min(total, sum(valids)))
@@ -373,7 +388,7 @@ def _log_id_accuracy(cfg: RunConfig, feats, labels, text_feats, log) -> None:
 
 
 def _id_features_cached(step, params, val_ds, cfg: RunConfig, log,
-                        maybe_profile):
+                        maybe_profile, telemetry=None):
     """ID features (+labels), honoring --resume (the round-1 asymmetry:
     only scores were cached, so resume + --eval_accuracy re-extracted)."""
     path = os.path.join(cfg.log_directory,
@@ -383,7 +398,8 @@ def _id_features_cached(step, params, val_ds, cfg: RunConfig, log,
         log.debug(f"resume: loaded cached ID features for {cfg.in_dataset}")
         return data["features"], data["labels"]
     with maybe_profile(cfg.trace_dir):
-        feats, labels = extract_features(step, params, val_ds, cfg)
+        feats, labels = extract_features(step, params, val_ds, cfg,
+                                         telemetry)
     np.savez(path, features=feats, labels=labels)
     return feats, labels
 
@@ -405,7 +421,7 @@ def run_eval(cfg: RunConfig) -> Dict[str, Dict[str, float]]:
 
     mu = prec = text_feats = None
     if cfg.score == "maha":
-        mu, prec = _maha_templates(cfg, step, params, log)
+        mu, prec = _maha_templates(cfg, step, params, log, telemetry)
     elif cfg.model != "vit-Linear":  # vit-Linear scores classifier logits
         text_feats = _encode_prompts(step, params, tokenizer, test_labels,
                                      cfg.template_ensemble)
@@ -418,7 +434,7 @@ def run_eval(cfg: RunConfig) -> Dict[str, Dict[str, float]]:
                 return cached
         if cfg.score == "maha":
             s = maha_score_dataset(step, params, dataset, mu, prec, cfg,
-                                   in_dist)
+                                   in_dist, telemetry)
         else:
             s = score_dataset(step, params, dataset, text_feats, cfg,
                               telemetry)
@@ -433,7 +449,7 @@ def run_eval(cfg: RunConfig) -> Dict[str, Dict[str, float]]:
         # and the accuracy from them (no second encode epoch); features are
         # cached so --resume skips re-extraction too (not just scores)
         feats, labels = _id_features_cached(step, params, val_ds, cfg, log,
-                                            maybe_profile)
+                                            maybe_profile, telemetry)
         if cfg.model == "vit-Linear":
             # "features" are classifier logits — score them directly
             from mcm_tpu.scores.msp import msp_scores
@@ -453,7 +469,8 @@ def run_eval(cfg: RunConfig) -> Dict[str, Dict[str, float]]:
                               "(no prompt features to classify against)")
             else:  # odin: accuracy from a separate (cached) feature pass
                 feats, labels = _id_features_cached(step, params, val_ds,
-                                                    cfg, log, maybe_profile)
+                                                    cfg, log, maybe_profile,
+                                                    telemetry)
                 _log_id_accuracy(cfg, feats, labels, text_feats, log)
 
     auroc_list: List[float] = []

@@ -34,31 +34,47 @@ OOD_DIRS = {"iNaturalist": "iNaturalist", "SUN": "SUN",
             "places365": "Places", "dtd": os.path.join("dtd", "images")}
 
 
-def build_tree(root: str, id_images: int, ood_images: int) -> None:
+def build_tree(root: str, id_images: int, ood_images: int,
+               train_images: int = 0) -> None:
     from util_synth import make_imagefolder_tree
-    marker = os.path.join(root, f".soak_{id_images}_{ood_images}")
-    if os.path.exists(marker):
-        print(f"tree cached: {root}")
-        return
     n_cls = 40
     wnids = [f"n{i:08d}" for i in range(1, n_cls + 1)]
-    print(f"building {id_images} ID + 4×{ood_images} OOD JPEGs …")
-    make_imagefolder_tree(os.path.join(root, "ImageNet", "val"), wnids,
-                          per_class=id_images // n_cls, seed=1)
-    for k, name in enumerate(OOD_SETS):
-        make_imagefolder_tree(
-            os.path.join(root, "ImageNet_OOD_dataset", OOD_DIRS[name]),
-            [f"ood_{k}_{c}" for c in range(8)],
-            per_class=ood_images // 8, seed=100 + k, color_bias=40 * k)
-    open(marker, "w").close()
+    marker = os.path.join(root, f".soak_{id_images}_{ood_images}")
+    if not os.path.exists(marker):
+        print(f"building {id_images} ID + 4×{ood_images} OOD JPEGs …")
+        make_imagefolder_tree(os.path.join(root, "ImageNet", "val"), wnids,
+                              per_class=id_images // n_cls, seed=1)
+        for k, name in enumerate(OOD_SETS):
+            make_imagefolder_tree(
+                os.path.join(root, "ImageNet_OOD_dataset", OOD_DIRS[name]),
+                [f"ood_{k}_{c}" for c in range(8)],
+                per_class=ood_images // 8, seed=100 + k, color_bias=40 * k)
+        open(marker, "w").close()
+    else:
+        print(f"tree cached: {root}")
+    if train_images:
+        # Mahalanobis template estimation needs EVERY class of the ID
+        # dataset present in train (the runner refuses NaN class means),
+        # and get_test_labels(ImageNet) is the full 1000-class list
+        tmarker = os.path.join(root, f".soak_train_{train_images}")
+        if not os.path.exists(tmarker):
+            print(f"building {train_images} train JPEGs (1000 classes) …")
+            train_wnids = [f"n{i:08d}" for i in range(1, 1001)]
+            make_imagefolder_tree(os.path.join(root, "ImageNet", "train"),
+                                  train_wnids,
+                                  per_class=max(1, train_images // 1000),
+                                  seed=7)
+            open(tmarker, "w").close()
 
 
-def run_cli(root: str, extra, name: str) -> float:
+def run_cli(root: str, extra, name: str, score: str = "MCM") -> float:
     cmd = [sys.executable, os.path.join(REPO, "eval_ood_detection.py"),
            "--in_dataset", "ImageNet", "--root-dir", root,
-           "--score", "MCM", "--CLIP_ckpt", "ViT-B/16", "-b", "512",
-           "--allow_random_weights", "--eval_accuracy",
+           "--score", score, "--CLIP_ckpt", "ViT-B/16", "-b", "512",
+           "--allow_random_weights",
            "--name", "soak"] + extra
+    if score != "maha":
+        cmd.append("--eval_accuracy")
     t0 = time.perf_counter()
     proc = subprocess.run(cmd, cwd=root, capture_output=True, text=True)
     dt = time.perf_counter() - t0
@@ -66,13 +82,13 @@ def run_cli(root: str, extra, name: str) -> float:
     if proc.returncode != 0:
         print(tail)
         raise SystemExit(f"{name}: CLI failed rc={proc.returncode}")
-    log_dir = os.path.join(root, "results", "ImageNet", "MCM",
+    log_dir = os.path.join(root, "results", "ImageNet", score,
                            "CLIP_ViT-B/16_T_1_ID_soak")
     missing = [f for f in
-               ["soak.csv", "ood_eval_info.log", "ID_ImageNet_scores.npy",
-                "ID_ImageNet_features.npz"]
+               ["soak.csv", "ood_eval_info.log", "ID_ImageNet_scores.npy"]
+               + (["ID_ImageNet_features.npz"] if score != "maha" else [])
                + [f"{d}_scores.npy" for d in OOD_SETS]
-               + [f"MCM_{d}.png" for d in OOD_SETS]
+               + [f"{score}_{d}.png" for d in OOD_SETS]
                if not os.path.exists(os.path.join(log_dir, f))]
     if missing:
         raise SystemExit(f"{name}: missing artifacts: {missing}")
@@ -91,8 +107,31 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--id-images", type=int, default=10000)
     ap.add_argument("--ood-images", type=int, default=2048)
+    ap.add_argument("--train-images", type=int, default=2400)
     ap.add_argument("--root", default="/tmp/mcm_soak_tree")
+    ap.add_argument("--maha", action="store_true",
+                    help="soak the Mahalanobis path instead: template "
+                         "estimation over the train split (--subset), then "
+                         "ID + OOD maha sweeps, then a no-generate rerun "
+                         "that must load the cached templates")
     args = ap.parse_args()
+
+    if args.maha:
+        build_tree(args.root, args.id_images, args.ood_images,
+                   args.train_images)
+        maha_args = ["--subset", "1", "--max_count", "50",
+                     "--template_dir", os.path.join(args.root, "templates")]
+        cold = run_cli(args.root, maha_args, "maha cold", score="maha")
+        # second run: cached templates + cached scores via --resume
+        warm = run_cli(args.root,
+                       maha_args + ["--generate", "", "--resume"],
+                       "maha cached", score="maha")
+        tdir = os.path.join(args.root, "templates")
+        npz = [f for f in os.listdir(tdir) if f.endswith(".npz")]
+        assert npz, "no template cache written"
+        print(f"maha soak OK: templates {npz}; cached rerun {warm:.1f}s "
+              f"vs cold {cold:.1f}s")
+        return
 
     build_tree(args.root, args.id_images, args.ood_images)
     cold = run_cli(args.root, [], "cold")
