@@ -21,7 +21,7 @@ import argparse
 import os
 
 
-def process_args():
+def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         description="Evaluates MCM Score for CLIP (TPU-native)",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter)
@@ -98,7 +98,11 @@ def process_args():
                         help="fine-tuned .npz weights for --model CLIP-Linear")
     parser.add_argument("--out_datasets", default=None, type=str, nargs="+",
                         help="override the default OOD set list")
-    return parser.parse_args()
+    return parser
+
+
+def process_args():
+    return build_parser().parse_args()
 
 
 def main():

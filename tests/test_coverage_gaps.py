@@ -130,3 +130,24 @@ def test_get_and_print_results_wrapper(rng, capsys):
     assert len(aurocs) == len(auprs) == len(fprs) == 1
     assert aurocs[0] > 0.99
     assert "AUROC" in capsys.readouterr().out
+
+
+def test_orbax_roundtrip_sharded(tmp_path):
+    """save_params_orbax on a TP-sharded pytree → restore → exact values
+    (the multi-host trainer checkpoint path, loop._save_checkpoint)."""
+    pytest.importorskip("orbax.checkpoint")
+    from mcm_tpu.models.convert import load_params_orbax, save_params_orbax
+    from mcm_tpu.models.init import init_clip
+    from mcm_tpu.parallel import make_mesh, shard_params
+
+    params = init_clip(3, TINY)
+    sharded = shard_params(params, make_mesh(8, model_parallel=2))
+    path = str(tmp_path / "ckpt")
+    save_params_orbax(sharded, path)
+    restored = load_params_orbax(path)
+
+    flat_in, tree_in = jax.tree_util.tree_flatten(params)
+    flat_out, tree_out = jax.tree_util.tree_flatten(restored)
+    assert tree_in == tree_out
+    for a, b in zip(flat_in, flat_out):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
