@@ -41,6 +41,10 @@ void error_exit(j_common_ptr cinfo) {
   longjmp(err->jump, 1);
 }
 
+// Keep worker threads from spamming stderr with libjpeg corruption
+// warnings; the warning COUNT still fails the decode below.
+void output_message(j_common_ptr) {}
+
 // Decode a JPEG file into an RGB buffer. Returns false on any failure.
 // In fast mode, asks libjpeg for the smallest M/8 DCT scale that keeps the
 // shorter side >= out_size; the triangle downfilter finishes the job.
@@ -53,6 +57,7 @@ bool decode_jpeg(const char* path, int out_size, bool fast,
   ErrMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit;
+  jerr.pub.output_message = output_message;
   if (setjmp(jerr.jump)) {
     jpeg_destroy_decompress(&cinfo);
     std::fclose(f);
@@ -89,19 +94,17 @@ bool decode_jpeg(const char* path, int out_size, bool fast,
   }
   const int comps = cinfo.output_components;
   jpeg_finish_decompress(&cinfo);
+  // Corrupt-entropy data (e.g. a truncated scan) is a *warning* in libjpeg:
+  // it fakes an EOI and fills the remaining MCU rows with gray, returning
+  // "success".  The PIL reference path raises for such files, so silently
+  // accepting them would diverge scores — fail here and let the per-image
+  // PIL fallback reproduce the reference behavior exactly.
+  const long warnings = jerr.pub.num_warnings;
   jpeg_destroy_decompress(&cinfo);
   std::fclose(f);
-
-  if (comps == 1) {  // expand grayscale to RGB
-    std::vector<unsigned char> expanded(static_cast<size_t>(w) * h * 3);
-    for (size_t i = 0, n = static_cast<size_t>(w) * h; i < n; ++i) {
-      expanded[3 * i] = expanded[3 * i + 1] = expanded[3 * i + 2] = rgb[i];
-    }
-    rgb.swap(expanded);
-  } else if (comps != 3) {
-    return false;
-  }
-  return true;
+  // JCS_RGB above makes libjpeg do gray->RGB itself, so comps is 3 for
+  // every color space it can convert (it error_exits on ones it can't).
+  return comps == 3 && warnings == 0;
 }
 
 // PIL-geometry triangle filter coefficients for in_size -> out_size.
@@ -111,16 +114,24 @@ struct Filter {
   int max_len = 0;
 };
 
-Filter build_filter(int in_size, int out_size) {
+// Coefficients only for output indices [lo, hi) — the crop consumes just a
+// `size`-wide window, and building the full output range is O(out_size)
+// work+memory that explodes on extreme aspect ratios (1×65000 source →
+// 14.5M-row vertical filter of which 224 rows are read).  Index the
+// returned arrays by (i - lo); per-index geometry is unchanged, so the
+// window is bit-identical to slicing a full filter.
+Filter build_filter(int in_size, int out_size, int lo, int hi) {
   Filter flt;
+  const int count = hi - lo;
   const double scale = static_cast<double>(in_size) / out_size;
   const double fscale = std::max(scale, 1.0);
   const double support = 1.0 * fscale;
-  flt.xmin.resize(out_size);
-  flt.xlen.resize(out_size);
+  flt.xmin.resize(count);
+  flt.xlen.resize(count);
   flt.max_len = static_cast<int>(std::ceil(support)) * 2 + 2;
-  flt.weights.assign(static_cast<size_t>(out_size) * flt.max_len, 0.f);
-  for (int i = 0; i < out_size; ++i) {
+  flt.weights.assign(static_cast<size_t>(count) * flt.max_len, 0.f);
+  for (int i = lo; i < hi; ++i) {
+    const int k = i - lo;
     const double center = (i + 0.5) * scale;
     int xmin = std::max(static_cast<int>(center - support + 0.5), 0);
     int xmax = std::min(static_cast<int>(center + support + 0.5), in_size);
@@ -131,14 +142,14 @@ Filter build_filter(int in_size, int out_size) {
       w[x - xmin] = t > 0.0 ? t : 0.0;
       total += w[x - xmin];
     }
-    flt.xmin[i] = xmin;
-    flt.xlen[i] = xmax - xmin;
+    flt.xmin[k] = xmin;
+    flt.xlen[k] = xmax - xmin;
     for (int j = 0; j < xmax - xmin; ++j) {
-      flt.weights[static_cast<size_t>(i) * flt.max_len + j] =
+      flt.weights[static_cast<size_t>(k) * flt.max_len + j] =
           total > 0 ? static_cast<float>(w[j] / total) : 0.f;
     }
     if (total <= 0 && xmax > xmin) {
-      flt.weights[static_cast<size_t>(i) * flt.max_len] = 1.f;
+      flt.weights[static_cast<size_t>(k) * flt.max_len] = 1.f;
     }
   }
   return flt;
@@ -193,15 +204,14 @@ void resize_crop(const std::vector<unsigned char>& src, int w, int h,
   const int left = static_cast<int>(python_round_half((ow - size) / 2.0));
 
   // horizontal pass: w -> columns [left, left+size) of the ow-wide resize
-  Filter fh = build_filter(w, ow);
+  Filter fh = build_filter(w, ow, left, left + size);
   std::vector<float> tmp(static_cast<size_t>(size) * h * 3);
   for (int y = 0; y < h; ++y) {
     const unsigned char* row = src.data() + static_cast<size_t>(y) * w * 3;
     float* trow = tmp.data() + static_cast<size_t>(y) * size * 3;
     for (int x = 0; x < size; ++x) {
-      const int ox = left + x;
-      const float* wts = &fh.weights[static_cast<size_t>(ox) * fh.max_len];
-      const int x0 = fh.xmin[ox], n = fh.xlen[ox];
+      const float* wts = &fh.weights[static_cast<size_t>(x) * fh.max_len];
+      const int x0 = fh.xmin[x], n = fh.xlen[x];
       float r = 0.f, g = 0.f, b = 0.f;
       for (int j = 0; j < n; ++j) {
         const unsigned char* px = row + (x0 + j) * 3;
@@ -216,13 +226,12 @@ void resize_crop(const std::vector<unsigned char>& src, int w, int h,
   }
 
   // vertical pass h -> rows [top, top+size), accumulating whole rows
-  Filter fv = build_filter(h, oh);
+  Filter fv = build_filter(h, oh, top, top + size);
   const int row_elems = size * 3;
   std::vector<float> acc(row_elems);
   for (int y = 0; y < size; ++y) {
-    const int oy = top + y;
-    const float* wts = &fv.weights[static_cast<size_t>(oy) * fv.max_len];
-    const int y0 = fv.xmin[oy], n = fv.xlen[oy];
+    const float* wts = &fv.weights[static_cast<size_t>(y) * fv.max_len];
+    const int y0 = fv.xmin[y], n = fv.xlen[y];
     std::fill(acc.begin(), acc.end(), 0.f);
     for (int j = 0; j < n; ++j) {
       const float wj = wts[j];

@@ -19,24 +19,68 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "decoder.cpp")
 _SO = os.path.join(_DIR, "_libmcmdecoder.so")
+_TAG = _SO + ".host"
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _failed = False
 
 
+def _host_tag() -> str:
+    """Identifies the CPU the .so was built for: -march=native code moved
+    to a different machine (shared checkout, copied venv) would SIGILL at
+    first call — dlopen can't detect that, so the cache key must."""
+    import hashlib
+    import platform
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = line
+                    break
+    except OSError:
+        pass
+    return (platform.machine() + ":"
+            + hashlib.md5(flags.encode()).hexdigest()[:12])
+
+
 def _build() -> bool:
+    # compile to a temp path and rename into place: concurrent builders
+    # (multi-process tests, multihost launch) each publish a complete .so
+    # atomically, and a killed/timed-out g++ can't leave a fresh-mtime
+    # garbage file that poisons every future process
+    tmp = f"{_SO}.build.{os.getpid()}"
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           _SRC, "-o", _SO, "-ljpeg", "-pthread"]
+           _SRC, "-o", tmp, "-ljpeg", "-pthread"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True,
                        timeout=240)
+        os.replace(tmp, _SO)
+        with open(_TAG, "w") as f:
+            f.write(_host_tag())
         return True
-    except (subprocess.SubprocessError, FileNotFoundError) as e:
+    except (subprocess.SubprocessError, FileNotFoundError, OSError) as e:
         detail = getattr(e, "stderr", "") or str(e)
         warnings.warn(f"native decoder build failed ({detail[:400]}); "
                       "falling back to PIL")
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
+
+
+def _is_stale() -> bool:
+    if not os.path.exists(_SO):
+        return True
+    if os.path.exists(_SRC) and os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        return True
+    try:
+        with open(_TAG) as f:
+            return f.read().strip() != _host_tag()
+    except OSError:
+        return True  # unknown provenance — rebuild rather than risk SIGILL
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -44,14 +88,12 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _failed:
             return _lib
-        stale = (os.path.exists(_SRC)
-                 and os.path.getmtime(_SO) < os.path.getmtime(_SRC)
-                 if os.path.exists(_SO) else True)
-        if stale:
+        if _is_stale():
             if not os.path.exists(_SRC):  # prebuilt .so shipped w/o source
                 _failed = True
                 warnings.warn("native decoder source missing and no "
-                              "prebuilt library; falling back to PIL")
+                              "host-matched prebuilt library; "
+                              "falling back to PIL")
                 return None
             if not _build():
                 _failed = True
@@ -60,6 +102,10 @@ def _load() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(_SO)
         except OSError as e:
             warnings.warn(f"native decoder load failed ({e})")
+            try:  # a broken cache must not poison future processes
+                os.unlink(_SO)
+            except OSError:
+                pass
             _failed = True
             return None
         lib.mcm_decode_one.restype = ctypes.c_int
@@ -87,7 +133,7 @@ def decode_one(path: str, size: int = 224,
         return None
     out = np.empty((size, size, 3), dtype=np.uint8)
     rc = lib.mcm_decode_one(
-        path.encode(), size,
+        os.fsencode(path), size,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), int(fast))
     return out if rc == 0 else None
 
@@ -103,7 +149,10 @@ def decode_batch(paths: Sequence[str], size: int = 224,
     n = len(paths)
     out = np.empty((n, size, size, 3), dtype=np.uint8)
     status = np.zeros((n,), dtype=np.int32)
-    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    # fsencode, not str.encode: surrogateescape filenames (as os.listdir
+    # yields them) must reach the decoder as their on-disk bytes, not
+    # crash the whole batch with UnicodeEncodeError
+    arr = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
     n_threads = n_threads or min(32, os.cpu_count() or 4)
     lib.mcm_decode_batch(
         arr, n, size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),

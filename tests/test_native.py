@@ -94,3 +94,44 @@ def test_crop_rounding_matches_python_round(tmp_path):
     got = decode_one(p, 224).astype(np.int32)
     diff = np.abs(ref - got)
     assert diff.max() <= 2, diff.max()
+
+
+def test_truncated_jpeg_fails_native_and_falls_back(tmp_path):
+    """Corrupt-entropy JPEGs decode as libjpeg *warnings* (gray fill, rc=0
+    by default) — the native path must report failure so the PIL fallback
+    reproduces the reference's behavior for such files."""
+    import numpy as np
+    from PIL import Image
+
+    from mcm_tpu.runtime.native import decode_batch, native_available
+    if not native_available():
+        pytest.skip("no native decoder")
+    good = tmp_path / "good.jpg"
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.integers(0, 255, (96, 128, 3), dtype=np.uint8)
+                    ).save(good, quality=90)
+    data = good.read_bytes()
+    bad = tmp_path / "trunc.jpg"
+    bad.write_bytes(data[: len(data) // 2])  # cut mid-scan
+
+    out, status = decode_batch([str(good), str(bad)], size=64, n_threads=1)
+    assert status[0] == 0
+    assert status[1] != 0, "truncated JPEG must not decode 'successfully'"
+
+
+def test_host_tag_staleness(tmp_path, monkeypatch):
+    """A cached .so built on a different CPU (mismatched host tag) must be
+    treated as stale — -march=native code would SIGILL, and dlopen can't
+    catch that."""
+    from mcm_tpu.runtime import native
+    if not native.native_available():
+        pytest.skip("no native decoder")
+    assert not native._is_stale()
+    with open(native._TAG, "w") as f:
+        f.write("othermachine:deadbeef")
+    try:
+        assert native._is_stale()
+    finally:
+        with open(native._TAG, "w") as f:
+            f.write(native._host_tag())
+    assert not native._is_stale()
