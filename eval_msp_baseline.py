@@ -43,71 +43,45 @@ def process_args():
 
 def main():
     args = process_args()
-    import jax
-    import jax.numpy as jnp
+    import numpy as np
 
-    from mcm_tpu.config import Precision, SupervisedViTConfig
-    from mcm_tpu.data import (DataPipeline, collect_scores,
-                              default_out_datasets, get_num_cls,
-                              set_ood_loader, set_val_loader)
-    from mcm_tpu.data.transforms import (IMAGENET_MEAN, IMAGENET_STD,
-                                         normalize_on_device)
+    from mcm_tpu.data import (default_out_datasets, set_ood_loader,
+                              set_val_loader)
     from mcm_tpu.metrics import get_measures, print_measures
-    from mcm_tpu.models import vit as jvit
-    from mcm_tpu.models.init import init_supervised_vit
-    from mcm_tpu.scores.msp import msp_scores
-    from mcm_tpu.utils import setup_log, setup_seed
+    from mcm_tpu.runner import RunConfig, build_model_and_step, score_dataset
+    from mcm_tpu.utils import Telemetry, setup_log, setup_seed
     from mcm_tpu.utils.results import save_as_dataframe
 
     setup_seed(args.seed)
-    cfg = SupervisedViTConfig(num_classes=1000)
     log_directory = (f"results/{args.in_dataset}/MSP_{args.score}/"
                      f"vit_T_{args.T}_ID_{args.name}")
     os.makedirs(log_directory, exist_ok=True)
     log = setup_log(log_directory, args.name)
 
-    params = jvit.resolve_vit_params(cfg, args.ckpt_dir, cache=True)
-    if params is None:
-        if not args.allow_random_weights:
-            raise FileNotFoundError(
-                "no supervised ViT weights; put an HF "
-                "ViTForImageClassification snapshot under --ckpt_dir or pass "
-                "--allow_random_weights")
-        import warnings
-        warnings.warn("RANDOM WEIGHTS — smoke mode")
-        params = init_supervised_vit(0, cfg)
-
-    precision = Precision.fast()
-
-    @jax.jit
-    def score_batch(params, images_u8):
-        x = normalize_on_device(images_u8, IMAGENET_MEAN, IMAGENET_STD,
-                                dtype=precision.activation_dtype)
-        logits = jvit.forward_logits(params, cfg, x, precision)
-        return msp_scores(logits, args.score, args.T)
-
-    def score_dataset(dataset):
-        # one-batch-behind readback, same overlap pattern as the runner
-        from mcm_tpu.runner import _StreamReadback
-        # single-process baseline: full batches (no multi-host striping)
-        pipe = DataPipeline(dataset, args.batch_size,
-                            num_workers=args.num_workers,
-                            stripe=(0, args.batch_size))
-        stream = _StreamReadback()
-        valids = []
-        for batch in pipe:
-            stream.push(score_batch(params, jnp.asarray(batch.images)))
-            valids.append(batch.valid)
-        return collect_scores(stream.finish(), valids, pipe.num_samples)
+    # the runner's vit-Linear machinery: weight resolution, one-time
+    # device placement of the params (a local jit over numpy params would
+    # re-transfer the full ~344 MB weight pytree every batch), the sharded
+    # scoring step, and the streaming score pass with telemetry
+    cfg = RunConfig(in_dataset=args.in_dataset, root_dir=args.root_dir,
+                    name=args.name, seed=args.seed,
+                    batch_size=args.batch_size, T=float(args.T),
+                    model="vit-Linear", score=args.score,
+                    ckpt_dir=args.ckpt_dir,
+                    allow_random_weights=args.allow_random_weights,
+                    num_workers=args.num_workers)
+    params, _, step = build_model_and_step(cfg)
+    telemetry = Telemetry()
 
     val_ds = set_val_loader(args.in_dataset, args.root_dir)
-    in_score = score_dataset(val_ds)
+    in_score = score_dataset(step, params, val_ds, None, cfg, telemetry)
 
     out_datasets = args.out_datasets or default_out_datasets(args.in_dataset)
     auroc_list, aupr_list, fpr_list = [], [], []
     for out_dataset in out_datasets:
         log.debug(f"Evaluting OOD dataset {out_dataset}")
-        out_score = score_dataset(set_ood_loader(out_dataset, args.root_dir))
+        out_score = score_dataset(step, params,
+                                  set_ood_loader(out_dataset, args.root_dir),
+                                  None, cfg, telemetry)
         auroc, aupr, fpr = get_measures(-in_score, -out_score)
         print_measures(log, auroc, aupr, fpr, f"MSP-{args.score}")
         auroc_list.append(auroc)
@@ -117,6 +91,7 @@ def main():
                    float(np.mean(fpr_list)), "MSP-mean")
     save_as_dataframe(log_directory, args.name, out_datasets, fpr_list,
                       auroc_list, aupr_list)
+    log.debug(telemetry.report())
 
 
 if __name__ == "__main__":

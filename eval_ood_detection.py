@@ -124,8 +124,7 @@ def main():
         template_dir=args.template_dir,
         subset=bool(args.subset),
         max_count=args.max_count,
-        precision={"bf16": "fast", "fp32": "parity"}.get(args.precision,
-                                                         args.precision),
+        precision=args.precision,  # aliases resolved by resolve_precision
         model_parallel=args.model_parallel,
         n_devices=args.n_devices,
         num_workers=args.num_workers,

@@ -39,28 +39,44 @@ def main():
             best = min(best, (time.perf_counter() - t0) / CHAIN)
         return best
 
+    # Every chain carries the WEIGHT matrix through the loop (rolled one
+    # column per iteration — a few MB, negligible next to the matmul), so
+    # the dot has a genuine loop-carried dependence and no optimizer pass
+    # can hoist/CSE it out (the attn_shootout methodology; an accumulator
+    # that only consumes y[:1,:1] of a loop-invariant dot relies on XLA
+    # *declining* to LICM it).
+
     def bf16_chain(x, w):
-        def body(i, acc):
+        def body(i, carry):
+            w, acc = carry
             y = jnp.dot(x, w, preferred_element_type=jnp.float32)
-            return acc + jnp.sum(y[:1, :1])
-        return jax.lax.fori_loop(0, CHAIN, body, jnp.float32(0))
+            return jnp.roll(w, 1, axis=1), acc + jnp.sum(y[:1, :1])
+        return jax.lax.fori_loop(0, CHAIN, body, (w, jnp.float32(0)))[1]
 
     def int8_chain(x, w):
-        def body(i, acc):
+        def body(i, carry):
+            w, acc = carry
             y = jax.lax.dot_general(x, w, (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.int32)
-            return acc + jnp.sum(y[:1, :1])
-        return jax.lax.fori_loop(0, CHAIN, body, jnp.int32(0))
+            return jnp.roll(w, 1, axis=1), acc + jnp.sum(y[:1, :1])
+        return jax.lax.fori_loop(0, CHAIN, body, (w, jnp.int32(0)))[1]
 
-    # quantize-on-the-fly variant: bf16 act -> int8 in the loop (real cost)
+    # quantize-on-the-fly variant: bf16 act -> int8 in the loop.  The
+    # activations are ALSO chained (data-dependent epsilon) so the
+    # quantization itself can't be hoisted — its per-iteration cost is the
+    # point of this variant.
     def int8_dyn_chain(x, w):
-        def body(i, acc):
+        def body(i, carry):
+            x, w, acc = carry
             s = jnp.max(jnp.abs(x)) / 127.0
             xq = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
             y = jax.lax.dot_general(xq, w, (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.int32)
-            return acc + jnp.sum(y[:1, :1]).astype(jnp.float32) * s
-        return jax.lax.fori_loop(0, CHAIN, body, jnp.float32(0))
+            out = jnp.sum(y[:1, :1]).astype(jnp.float32) * s
+            x = x + (out * 1e-30).astype(x.dtype)
+            return x, jnp.roll(w, 1, axis=1), acc + out
+        return jax.lax.fori_loop(0, CHAIN, body,
+                                 (x, w, jnp.float32(0)))[2]
 
     flops = 2.0 * M * K * N
     t = timed(bf16_chain, xb, wb)

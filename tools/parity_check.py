@@ -135,6 +135,10 @@ def check(args):
     from mcm_tpu.scores import compute_scores, l2_normalize
 
     gold = np.load(args.goldens, allow_pickle=True)
+    if "ckpt" in gold and str(gold["ckpt"]) != args.ckpt:
+        sys.exit(f"goldens were recorded for {gold['ckpt']}, not "
+                 f"{args.ckpt} — a numeric FAIL against the wrong model "
+                 f"would be meaningless")
     cfg = CLIP_CONFIGS[args.ckpt]()
     params = resolve_clip_params(args.ckpt, args.ckpt_dir)
     if params is None:
@@ -164,7 +168,10 @@ def check(args):
     r1 = report("image features", img, gold["image_features"])
     r2 = report("text features", txt, gold["text_features"])
     r3 = report("MCM scores", mcm, gold["mcm"])
-    tol = 1e-3 if args.precision in ("parity", "fp32") else 3e-2
+    # key the tolerance off the RESOLVED policy, not the alias spelling
+    # ('float32'/'highest' resolve to parity math and must get the strict
+    # tolerance, not the loose bf16 one)
+    tol = 1e-3 if precision.activation_dtype == jnp.float32 else 3e-2
     ok = max(r1, r2, r3) < tol
     print("PARITY:", "PASS" if ok else "FAIL", f"(tol {tol})")
     sys.exit(0 if ok else 1)

@@ -41,6 +41,16 @@ def build_tree(root: str, id_images: int, ood_images: int,
     wnids = [f"n{i:08d}" for i in range(1, n_cls + 1)]
     marker = os.path.join(root, f".soak_{id_images}_{ood_images}")
     if not os.path.exists(marker):
+        # remove any previous, differently-sized tree first: rebuilding a
+        # smaller tree over a larger one would leave the old extra JPEGs
+        # in place and the soak would silently sweep more images than the
+        # summary claims
+        import shutil
+        for sub in ("ImageNet/val", "ImageNet_OOD_dataset"):
+            shutil.rmtree(os.path.join(root, sub), ignore_errors=True)
+        for m in os.listdir(root) if os.path.isdir(root) else []:
+            if m.startswith(".soak_") and not m.startswith(".soak_train"):
+                os.unlink(os.path.join(root, m))
         print(f"building {id_images} ID + 4×{ood_images} OOD JPEGs …")
         make_imagefolder_tree(os.path.join(root, "ImageNet", "val"), wnids,
                               per_class=id_images // n_cls, seed=1)
@@ -137,10 +147,10 @@ def main():
     cold = run_cli(args.root, [], "cold")
     warm = run_cli(args.root, ["--resume"], "resume")
     n = args.id_images + len(OOD_SETS) * args.ood_images
+    if warm > 0.7 * cold:  # gate BEFORE the success line — log greppers
+        raise SystemExit("resume did not reuse cached scores (too slow)")
     print(f"soak OK: {n} images; resume {warm:.1f}s vs cold {cold:.1f}s "
           f"({cold / max(warm, 1e-9):.1f}× faster)")
-    if warm > 0.7 * cold:
-        raise SystemExit("resume did not reuse cached scores (too slow)")
 
 
 if __name__ == "__main__":
