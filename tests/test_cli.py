@@ -103,3 +103,27 @@ def test_cli_maha_end_to_end(workdir):
     assert (log_dir / "maha_smoke.csv").exists()
     assert any(f.startswith("templates_") for f in
                os.listdir(tmp / "templates"))
+
+
+def test_cli_scores_deterministic_across_runs(workdir):
+    """Two independent CLI processes, same seed → byte-identical score
+    arrays. Locks in that the threaded decode pool, async dispatch, and
+    one-behind readback introduce no run-to-run nondeterminism (the CSVs
+    are derived from these arrays, so this is the strongest artifact-level
+    determinism claim)."""
+    tmp, data_root = workdir
+    args = ["--in_dataset", "pet37", "--root-dir", data_root,
+            "--score", "MCM", "--name", "det", "-b", "8",
+            "--out_datasets", "dtd", "--allow_random_weights",
+            "--num_workers", "2"]
+    assert _run_cli(args, cwd=str(tmp)).returncode == 0
+    log_dir = (tmp / "results" / "pet37" / "MCM" /
+               "CLIP_ViT-B/16_T_1_ID_det")
+    first = {f: (log_dir / f).read_bytes()
+             for f in ["ID_pet37_scores.npy", "dtd_scores.npy"]}
+    csv1 = (log_dir / "det.csv").read_text()
+
+    assert _run_cli(args, cwd=str(tmp)).returncode == 0  # no --resume
+    for f, blob in first.items():
+        assert (log_dir / f).read_bytes() == blob, f"{f} differs"
+    assert (log_dir / "det.csv").read_text() == csv1
