@@ -21,6 +21,9 @@ TPU-native details:
 
 from __future__ import annotations
 
+import queue
+import threading
+from concurrent.futures import Future
 from typing import Optional, Sequence
 
 import numpy as np
@@ -189,3 +192,183 @@ class OODDetector:
         if self.threshold is None:
             raise RuntimeError("call calibrate(id_scores) first")
         return np.asarray(scores) <= self.threshold
+
+
+class MicroBatcher:
+    """Concurrent request coalescing in front of an :class:`OODDetector`.
+
+    ``score_images`` serves one caller at a time; under concurrent load
+    (many clients each holding one image) per-request dispatch would run
+    the chip at bucket-1 shapes and pay a full host↔device round trip per
+    image.  A ``MicroBatcher`` owns one dispatcher thread: requests from
+    any number of client threads queue up, the dispatcher coalesces
+    whatever arrived within ``max_wait_ms`` (up to the detector's largest
+    compiled bucket) into a single padded batch, and results fan back out
+    through per-request futures.  The device sees the same ≤4 compiled
+    shapes as the offline path — coalescing never triggers a retrace.
+
+    The dispatcher pipelines one batch: batch *i+1* is dispatched to the
+    device before batch *i*'s scores are read back (the evaluator's
+    one-behind readback, ``runner._StreamReadback``), so host readback
+    latency overlaps device compute under sustained load.
+
+    >>> with MicroBatcher(det, max_wait_ms=5) as mb:
+    ...     futures = [mb.submit(img) for img in images]   # any threads
+    ...     scores = [f.result() for f in futures]
+    """
+
+    _SHUTDOWN = object()
+
+    def __init__(self, detector: OODDetector, max_wait_ms: float = 5.0,
+                 max_batch: Optional[int] = None):
+        biggest = detector.batch_sizes[-1]
+        if max_batch is None:
+            max_batch = biggest
+        if not 1 <= max_batch <= biggest:
+            raise ValueError(f"max_batch={max_batch} outside the "
+                             f"detector's compiled buckets (max {biggest})")
+        self.detector = detector
+        self.max_wait = max_wait_ms / 1e3
+        self.max_batch = max_batch
+        self.n_batches = 0
+        self.n_images = 0
+        self._queue: queue.SimpleQueue = queue.SimpleQueue()
+        self._closed = False
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="mcm-microbatcher")
+        self._thread.start()
+
+    # -- client side -----------------------------------------------------------
+
+    def submit(self, image_u8: np.ndarray) -> Future:
+        """One [S, S, 3] uint8 image → Future of its fp32 score.
+
+        Thread-safe; shape/dtype errors raise here in the caller, not in
+        the dispatcher."""
+        image_u8 = np.asarray(image_u8)
+        s = self.detector.image_size
+        if image_u8.dtype != np.uint8:
+            raise TypeError(f"submit expects one uint8 image, got dtype "
+                            f"{image_u8.dtype}")
+        if image_u8.shape != (s, s, 3):
+            raise ValueError(f"submit expects one [{s}, {s}, 3] image "
+                             f"(batches go through score()); got "
+                             f"{image_u8.shape}")
+        if self._closed:
+            raise RuntimeError("MicroBatcher is closed")
+        fut: Future = Future()
+        self._queue.put((image_u8, fut))
+        return fut
+
+    def score(self, images_u8: np.ndarray) -> np.ndarray:
+        """Blocking convenience: submit each image, gather scores."""
+        images_u8 = np.asarray(images_u8)
+        if images_u8.ndim == 3:
+            images_u8 = images_u8[None]
+        futures = [self.submit(img) for img in images_u8]
+        return np.array([f.result() for f in futures], np.float32)
+
+    def close(self) -> None:
+        """Drain outstanding requests, then stop the dispatcher."""
+        if not self._closed:
+            self._closed = True
+            self._queue.put(self._SHUTDOWN)
+        self._thread.join()
+
+    def __enter__(self) -> "MicroBatcher":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # -- dispatcher ------------------------------------------------------------
+
+    def _collect(self, block: bool):
+        """Wait for the first request (non-blocking when a dispatched
+        batch is pending readback — its callers must not wait for the
+        NEXT burst), then coalesce what arrives within the wait window.
+        Returns (requests, saw_shutdown)."""
+        import time
+        try:
+            first = self._queue.get() if block else self._queue.get_nowait()
+        except queue.Empty:
+            return [], False
+        if first is self._SHUTDOWN:
+            return [], True
+        reqs = [first]
+        deadline = time.monotonic() + self.max_wait
+        while len(reqs) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                item = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if item is self._SHUTDOWN:
+                return reqs, True
+            reqs.append(item)
+        return reqs, False
+
+    def _dispatch(self, reqs):
+        """Pad to a compiled bucket and launch on the device (async)."""
+        det = self.detector
+        n = len(reqs)
+        b = det._bucket(n)
+        batch = np.zeros((b, det.image_size, det.image_size, 3), np.uint8)
+        for i, (img, _) in enumerate(reqs):
+            batch[i] = img
+        return det._score_device(det.step.put_batch(batch))
+
+    @staticmethod
+    def _resolve(pending):
+        device_scores, reqs = pending
+        try:
+            host = np.asarray(device_scores)  # the real barrier + D2H
+        except Exception as e:  # noqa: BLE001 — fan the failure out
+            for _, fut in reqs:
+                fut.set_exception(e)
+            return
+        for i, (_, fut) in enumerate(reqs):
+            fut.set_result(float(host[i]))
+
+    def _loop(self):
+        pending = None
+        shutdown = False
+        while not shutdown:
+            reqs, shutdown = self._collect(block=pending is None)
+            if not reqs and not shutdown:
+                # queue went idle with a batch in flight: read it back now
+                self._resolve(pending)
+                pending = None
+                continue
+            if reqs:
+                try:
+                    new_pending = (self._dispatch(reqs), reqs)
+                    self.n_batches += 1
+                    self.n_images += len(reqs)
+                except Exception as e:  # noqa: BLE001
+                    for _, fut in reqs:
+                        fut.set_exception(e)
+                    new_pending = None
+            else:
+                new_pending = None
+            if pending is not None:
+                self._resolve(pending)
+            pending = new_pending
+        # drain anything that raced the shutdown sentinel
+        if pending is not None:
+            self._resolve(pending)
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is self._SHUTDOWN:
+                continue
+            try:
+                self._resolve((self._dispatch([item]), [item]))
+                self.n_batches += 1
+                self.n_images += 1
+            except Exception as e:  # noqa: BLE001
+                item[1].set_exception(e)

@@ -113,3 +113,85 @@ def test_maha_serving(detector, tmp_path):
         assert not np.allclose(maha, mcm_scores)
     finally:
         detector._maha = None  # restore for other tests (module fixture)
+
+
+# -- MicroBatcher ---------------------------------------------------------------
+
+
+def test_microbatcher_concurrent_submits_coalesce(detector):
+    """40 single-image requests through the batcher: every future
+    resolves, scores match the direct path, and requests were coalesced
+    into far fewer device batches than requests."""
+    from mcm_tpu.serve import MicroBatcher
+
+    rng = np.random.default_rng(7)
+    imgs = rng.integers(0, 256, size=(40, 224, 224, 3), dtype=np.uint8)
+    direct = detector.score_images(imgs)
+
+    with MicroBatcher(detector, max_wait_ms=20) as mb:
+        futures = [mb.submit(img) for img in imgs]
+        got = np.array([f.result(timeout=300) for f in futures], np.float32)
+
+    # different bucket compositions → bf16 tiling differences (same
+    # tolerance as the bucket-invariance tests above)
+    np.testing.assert_allclose(got, direct, rtol=5e-3, atol=5e-4)
+    assert mb.n_images == 40
+    # detector buckets are (1, 4) → at least ceil(40/4)=10 batches, and
+    # coalescing must beat one-batch-per-request by a wide margin
+    assert 10 <= mb.n_batches <= 20, mb.n_batches
+
+
+def test_microbatcher_idle_resolution_and_reuse(detector):
+    """A lone request must resolve promptly (the one-behind pipeline may
+    not hold its readback hostage until the next burst)."""
+    from mcm_tpu.serve import MicroBatcher
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, size=(224, 224, 3), dtype=np.uint8)
+    with MicroBatcher(detector, max_wait_ms=1) as mb:
+        s1 = mb.submit(img).result(timeout=300)
+        s2 = mb.submit(img).result(timeout=300)  # dispatcher still alive
+        assert s1 == s2  # same image, same bucket, same executable
+        got = mb.score(np.stack([img, img]))
+        assert got.shape == (2,)
+
+
+def test_microbatcher_rejects_bad_input(detector):
+    from mcm_tpu.serve import MicroBatcher
+
+    with MicroBatcher(detector) as mb:
+        with pytest.raises(TypeError, match="uint8"):
+            mb.submit(np.zeros((224, 224, 3), np.float32))
+        with pytest.raises(ValueError, match="one \\["):
+            mb.submit(np.zeros((2, 224, 224, 3), np.uint8))
+    with pytest.raises(RuntimeError, match="closed"):
+        mb.submit(np.zeros((224, 224, 3), np.uint8))
+    with pytest.raises(ValueError, match="max_batch"):
+        MicroBatcher(detector, max_batch=512)  # buckets are (1, 4)
+
+
+def test_microbatcher_fans_out_dispatch_failure(detector, monkeypatch):
+    from mcm_tpu.serve import MicroBatcher
+
+    def boom(images_device):
+        raise RuntimeError("chip fell over")
+
+    monkeypatch.setattr(detector, "_score_device", boom)
+    img = np.zeros((224, 224, 3), np.uint8)
+    with MicroBatcher(detector, max_wait_ms=1) as mb:
+        fut = mb.submit(img)
+        with pytest.raises(RuntimeError, match="chip fell over"):
+            fut.result(timeout=60)
+
+
+def test_microbatcher_close_drains_in_flight(detector):
+    """Requests racing close() must still be answered, not dropped."""
+    from mcm_tpu.serve import MicroBatcher
+
+    rng = np.random.default_rng(9)
+    imgs = rng.integers(0, 256, size=(6, 224, 224, 3), dtype=np.uint8)
+    mb = MicroBatcher(detector, max_wait_ms=50)
+    futures = [mb.submit(img) for img in imgs]
+    mb.close()  # immediately: some requests are still queued/in flight
+    for f in futures:
+        assert np.isfinite(f.result(timeout=300))

@@ -79,6 +79,34 @@ def main():
     print(f"file scoring: 96 files ok; calibrated thr={thr:.4f}, "
           f"{frac:.2%} called ID")
     assert 0.90 <= frac <= 1.0
+    # concurrent single-image clients: MicroBatcher coalescing vs the
+    # serial per-request floor (each serial request pays a full tunnel
+    # round trip at bucket-1 shape)
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mcm_tpu.serve import MicroBatcher
+
+    n_req, n_clients = 256, 16
+    t0 = time.perf_counter()
+    for i in range(32):  # serial baseline (32 is enough to see the floor)
+        det.score_images(imgs[i])
+    serial_rps = 32 / (time.perf_counter() - t0)
+
+    with MicroBatcher(det, max_wait_ms=5) as mb:
+        mb.submit(imgs[0]).result()  # warm the path
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(n_clients) as pool:
+            scores = list(pool.map(
+                lambda i: mb.submit(imgs[i % 512]).result(timeout=600),
+                range(n_req)))
+        batched_rps = n_req / (time.perf_counter() - t0)
+    assert all(np.isfinite(s) for s in scores)
+    print(f"concurrent clients: serial {serial_rps:.1f} req/s → "
+          f"microbatched {batched_rps:.1f} req/s "
+          f"({batched_rps / serial_rps:.1f}×, {mb.n_batches} device "
+          f"batches for {mb.n_images} requests)")
+    assert mb.n_batches < mb.n_images, "no coalescing happened"
+
     print(f"bucket-invariance max|Δ|={err:.2e}; serve soak OK")
 
 
