@@ -23,7 +23,8 @@ from __future__ import annotations
 
 import queue
 import threading
-from concurrent.futures import Future
+import time
+from concurrent.futures import Future, InvalidStateError
 from typing import Optional, Sequence
 
 import numpy as np
@@ -115,6 +116,18 @@ class OODDetector:
                 return b
         return self.batch_sizes[-1]
 
+    def _pad_to_bucket(self, images: Sequence[np.ndarray]) -> np.ndarray:
+        """Stack ≤biggest-bucket images into the smallest compiled bucket
+        shape, zero-padded (one assembly path for the offline chunker and
+        the online MicroBatcher — bucket selection and padding must never
+        diverge between them)."""
+        b = self._bucket(len(images))
+        s = self.image_size
+        batch = np.zeros((b, s, s, 3), np.uint8)
+        for i, img in enumerate(images):
+            batch[i] = img
+        return batch
+
     def score_images(self, images_u8: np.ndarray) -> np.ndarray:
         """[N, S, S, 3] uint8 (preprocessed) → [N] fp32 scores
         (lower = more in-distribution, the evaluator's convention)."""
@@ -141,9 +154,7 @@ class OODDetector:
         done = 0
         while done < n:
             chunk = min(n - done, self.batch_sizes[-1])
-            b = self._bucket(chunk)
-            batch = np.zeros((b,) + images_u8.shape[1:], np.uint8)
-            batch[:chunk] = images_u8[done:done + chunk]
+            batch = self._pad_to_bucket(images_u8[done:done + chunk])
             scores = self._score_device(self.step.put_batch(batch))
             out[done:done + chunk] = np.asarray(scores)[:chunk]
             done += chunk
@@ -194,6 +205,12 @@ class OODDetector:
         return np.asarray(scores) <= self.threshold
 
 
+class Overloaded(RuntimeError):
+    """Raised by :meth:`MicroBatcher.submit` when ``max_pending``
+    unresolved requests are already queued — the caller should shed
+    load (reject/retry-later), not pile onto an unbounded queue."""
+
+
 class MicroBatcher:
     """Concurrent request coalescing in front of an :class:`OODDetector`.
 
@@ -212,6 +229,12 @@ class MicroBatcher:
     one-behind readback, ``runner._StreamReadback``), so host readback
     latency overlaps device compute under sustained load.
 
+    Callers may abandon a request with ``future.cancel()`` — cancelled
+    requests are skipped at dispatch time.  ``max_pending`` bounds the
+    number of unresolved requests: past it, ``submit`` raises
+    :class:`Overloaded` so callers shed load instead of growing the queue
+    (and their tail latency) without bound.
+
     >>> with MicroBatcher(det, max_wait_ms=5) as mb:
     ...     futures = [mb.submit(img) for img in images]   # any threads
     ...     scores = [f.result() for f in futures]
@@ -220,7 +243,8 @@ class MicroBatcher:
     _SHUTDOWN = object()
 
     def __init__(self, detector: OODDetector, max_wait_ms: float = 5.0,
-                 max_batch: Optional[int] = None):
+                 max_batch: Optional[int] = None,
+                 max_pending: Optional[int] = None):
         biggest = detector.batch_sizes[-1]
         if max_batch is None:
             max_batch = biggest
@@ -230,10 +254,13 @@ class MicroBatcher:
         self.detector = detector
         self.max_wait = max_wait_ms / 1e3
         self.max_batch = max_batch
+        self.max_pending = max_pending
         self.n_batches = 0
         self.n_images = 0
         self._queue: queue.SimpleQueue = queue.SimpleQueue()
         self._closed = False
+        self._lock = threading.Lock()   # orders submit()s vs close()
+        self._outstanding = 0           # unresolved futures, for max_pending
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="mcm-microbatcher")
         self._thread.start()
@@ -244,7 +271,10 @@ class MicroBatcher:
         """One [S, S, 3] uint8 image → Future of its fp32 score.
 
         Thread-safe; shape/dtype errors raise here in the caller, not in
-        the dispatcher."""
+        the dispatcher.  The pixels are copied — the caller may reuse its
+        buffer immediately (requests can sit queued for a while under
+        load; scoring someone's recycled decode buffer would be silent
+        corruption)."""
         image_u8 = np.asarray(image_u8)
         s = self.detector.image_size
         if image_u8.dtype != np.uint8:
@@ -254,11 +284,26 @@ class MicroBatcher:
             raise ValueError(f"submit expects one [{s}, {s}, 3] image "
                              f"(batches go through score()); got "
                              f"{image_u8.shape}")
-        if self._closed:
-            raise RuntimeError("MicroBatcher is closed")
         fut: Future = Future()
-        self._queue.put((image_u8, fut))
+        fut.add_done_callback(self._on_done)
+        with self._lock:
+            # the queue put happens under the same lock close() takes, so
+            # every accepted request is enqueued BEFORE the shutdown
+            # sentinel — nothing can race past close() into a dead queue
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            if (self.max_pending is not None
+                    and self._outstanding >= self.max_pending):
+                raise Overloaded(
+                    f"{self._outstanding} requests already pending "
+                    f"(max_pending={self.max_pending})")
+            self._outstanding += 1
+            self._queue.put((image_u8.copy(), fut))
         return fut
+
+    def _on_done(self, _fut) -> None:
+        with self._lock:
+            self._outstanding -= 1
 
     def score(self, images_u8: np.ndarray) -> np.ndarray:
         """Blocking convenience: submit each image, gather scores."""
@@ -270,9 +315,10 @@ class MicroBatcher:
 
     def close(self) -> None:
         """Drain outstanding requests, then stop the dispatcher."""
-        if not self._closed:
-            self._closed = True
-            self._queue.put(self._SHUTDOWN)
+        with self._lock:
+            if not self._closed:
+                self._closed = True
+                self._queue.put(self._SHUTDOWN)
         self._thread.join()
 
     def __enter__(self) -> "MicroBatcher":
@@ -288,7 +334,6 @@ class MicroBatcher:
         batch is pending readback — its callers must not wait for the
         NEXT burst), then coalesce what arrives within the wait window.
         Returns (requests, saw_shutdown)."""
-        import time
         try:
             first = self._queue.get() if block else self._queue.get_nowait()
         except queue.Empty:
@@ -313,12 +358,16 @@ class MicroBatcher:
     def _dispatch(self, reqs):
         """Pad to a compiled bucket and launch on the device (async)."""
         det = self.detector
-        n = len(reqs)
-        b = det._bucket(n)
-        batch = np.zeros((b, det.image_size, det.image_size, 3), np.uint8)
-        for i, (img, _) in enumerate(reqs):
-            batch[i] = img
+        batch = det._pad_to_bucket([img for img, _ in reqs])
         return det._score_device(det.step.put_batch(batch))
+
+    @staticmethod
+    def _fail(reqs, exc) -> None:
+        for _, fut in reqs:
+            try:
+                fut.set_exception(exc)
+            except InvalidStateError:
+                pass  # racing cancel(); the caller already walked away
 
     @staticmethod
     def _resolve(pending):
@@ -326,13 +375,48 @@ class MicroBatcher:
         try:
             host = np.asarray(device_scores)  # the real barrier + D2H
         except Exception as e:  # noqa: BLE001 — fan the failure out
-            for _, fut in reqs:
-                fut.set_exception(e)
+            MicroBatcher._fail(reqs, e)
             return
         for i, (_, fut) in enumerate(reqs):
-            fut.set_result(float(host[i]))
+            try:
+                fut.set_result(float(host[i]))
+            except InvalidStateError:
+                pass  # cancelled between dispatch-claim and readback
+
+    def _run_batch(self, reqs):
+        """Claim, dispatch, and account one coalesced batch.  Returns the
+        (device_scores, reqs) pending tuple, or None."""
+        # claim each future: a False return means the caller cancelled
+        # while queued — skip it (its done-callback already fired)
+        reqs = [r for r in reqs if r[1].set_running_or_notify_cancel()]
+        if not reqs:
+            return None
+        try:
+            pending = (self._dispatch(reqs), reqs)
+        except Exception as e:  # noqa: BLE001
+            self._fail(reqs, e)
+            return None
+        self.n_batches += 1
+        self.n_images += len(reqs)
+        return pending
 
     def _loop(self):
+        try:
+            self._loop_inner()
+        except BaseException as e:  # noqa: BLE001 — dispatcher must not
+            # die silently: refuse new work and fail whatever is queued
+            with self._lock:
+                self._closed = True
+            while True:
+                try:
+                    item = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if item is not self._SHUTDOWN:
+                    self._fail([item], e)
+            raise
+
+    def _loop_inner(self):
         pending = None
         shutdown = False
         while not shutdown:
@@ -342,21 +426,12 @@ class MicroBatcher:
                 self._resolve(pending)
                 pending = None
                 continue
-            if reqs:
-                try:
-                    new_pending = (self._dispatch(reqs), reqs)
-                    self.n_batches += 1
-                    self.n_images += len(reqs)
-                except Exception as e:  # noqa: BLE001
-                    for _, fut in reqs:
-                        fut.set_exception(e)
-                    new_pending = None
-            else:
-                new_pending = None
+            new_pending = self._run_batch(reqs) if reqs else None
             if pending is not None:
                 self._resolve(pending)
             pending = new_pending
-        # drain anything that raced the shutdown sentinel
+        # requests coalesced together with the shutdown sentinel (submit
+        # holds the close() lock, so nothing arrives after the sentinel)
         if pending is not None:
             self._resolve(pending)
         while True:
@@ -366,9 +441,6 @@ class MicroBatcher:
                 break
             if item is self._SHUTDOWN:
                 continue
-            try:
-                self._resolve((self._dispatch([item]), [item]))
-                self.n_batches += 1
-                self.n_images += 1
-            except Exception as e:  # noqa: BLE001
-                item[1].set_exception(e)
+            done = self._run_batch([item])
+            if done is not None:
+                self._resolve(done)

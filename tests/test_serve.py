@@ -1,6 +1,8 @@
 """Online-serving API (mcm_tpu.serve.OODDetector): bucketed batch shapes,
 file scoring through the native pipeline, threshold calibration."""
 
+import time
+
 import numpy as np
 import pytest
 
@@ -195,3 +197,70 @@ def test_microbatcher_close_drains_in_flight(detector):
     mb.close()  # immediately: some requests are still queued/in flight
     for f in futures:
         assert np.isfinite(f.result(timeout=300))
+
+
+def _slow_fake_scores(detector, monkeypatch, delay=0.25):
+    """Replace device scoring with a slow stub so requests deterministically
+    pile up in the queue while the dispatcher is busy."""
+    import time as _time
+
+    def fake(images_device):
+        _time.sleep(delay)
+        return np.zeros(int(images_device.shape[0]), np.float32)
+
+    monkeypatch.setattr(detector, "_score_device", fake)
+
+
+def test_microbatcher_cancelled_request_is_skipped(detector, monkeypatch):
+    """future.cancel() while queued must drop the request without killing
+    the dispatcher (set_result on a cancelled future raises
+    InvalidStateError — round-2 review finding)."""
+    from mcm_tpu.serve import MicroBatcher
+
+    _slow_fake_scores(detector, monkeypatch)
+    img = np.zeros((224, 224, 3), np.uint8)
+    with MicroBatcher(detector, max_wait_ms=1) as mb:
+        f0 = mb.submit(img)          # dispatcher grabs this, then sleeps
+        time.sleep(0.05)
+        f1 = mb.submit(img)          # queued behind the sleeping batch
+        f2 = mb.submit(img)
+        assert f1.cancel()
+        assert f2.result(timeout=60) == 0.0
+        assert f0.result(timeout=60) == 0.0
+        assert f1.cancelled()
+        # dispatcher is still alive and serving
+        assert mb.submit(img).result(timeout=60) == 0.0
+    assert mb.n_images == 3  # f0, f2, and the liveness probe — not f1
+
+
+def test_microbatcher_max_pending_backpressure(detector, monkeypatch):
+    from mcm_tpu.serve import MicroBatcher, Overloaded
+
+    _slow_fake_scores(detector, monkeypatch)
+    img = np.zeros((224, 224, 3), np.uint8)
+    with MicroBatcher(detector, max_wait_ms=1, max_pending=2) as mb:
+        f0 = mb.submit(img)
+        time.sleep(0.05)
+        f1 = mb.submit(img)
+        with pytest.raises(Overloaded, match="max_pending=2"):
+            mb.submit(img)
+        assert f0.result(timeout=60) == 0.0
+        assert f1.result(timeout=60) == 0.0
+        # capacity frees up once futures resolve
+        assert mb.submit(img).result(timeout=60) == 0.0
+
+
+def test_microbatcher_copies_the_submitted_buffer(detector):
+    """The caller may recycle its decode buffer immediately after
+    submit() — the request must be scored on the submitted pixels."""
+    from mcm_tpu.serve import MicroBatcher
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(224, 224, 3), dtype=np.uint8)
+    expected = detector.score_images(img)  # bucket-1, same executable
+    buf = img.copy()
+    with MicroBatcher(detector, max_wait_ms=200) as mb:
+        fut = mb.submit(buf)
+        buf[:] = 0  # recycle the buffer while the request is queued
+        got = fut.result(timeout=300)
+    np.testing.assert_allclose(got, expected[0], rtol=1e-6, atol=1e-7)
