@@ -111,6 +111,25 @@ def main():
 
     measure("jax_flash_pad256_nobias", flash_nb, (q, k, v))
 
+    # S=256 XLA rows: the one unmeasured round-1 lever — would running the
+    # whole tower at a 128-aligned sequence (pad once at embedding, mask
+    # padded keys) beat XLA's unaligned S=197 schedule?  Presized inputs =
+    # the model-level steady state (no per-layer pad/slice).  TFLOP/s
+    # columns stay normalized to the S=197 useful FLOPs, so rows compare
+    # as "effective rate at the real workload".
+    S2 = 256
+    q2 = jnp.asarray(rng.standard_normal((B, H, S2, Dh)), jnp.bfloat16)
+    k2 = jnp.asarray(rng.standard_normal((B, H, S2, Dh)), jnp.bfloat16)
+    v2 = jnp.asarray(rng.standard_normal((B, H, S2, Dh)), jnp.bfloat16)
+    key_mask = jnp.zeros((1, 1, 1, S2), jnp.float32).at[..., S:].set(-1e9)
+
+    measure("xla_S256_presized_mask",
+            lambda q, k, v: _xla_attention(q, k, v, key_mask, prec),
+            (q2, k2, v2))
+    measure("xla_S256_presized_nomask",
+            lambda q, k, v: _xla_attention(q, k, v, None, prec),
+            (q2, k2, v2))
+
 
 if __name__ == "__main__":
     main()
