@@ -29,7 +29,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--in_dataset", default="ImageNet", type=str,
                         choices=["ImageNet", "ImageNet10", "ImageNet20",
                                  "ImageNet100", "pet37", "food101", "car196",
-                                 "bird200"],
+                                 "bird200", "flower102"],
                         help="in-distribution dataset")
     parser.add_argument("--root-dir", default="datasets", type=str,
                         help="root dir of datasets")

@@ -1,6 +1,6 @@
 from mcm_tpu.data.folder import ImageFolder, SubsetView, subset_per_class  # noqa: F401
-from mcm_tpu.data.datasets import (Cub2011, Food101, OxfordIIITPet,  # noqa: F401
-                                   StanfordCars)
+from mcm_tpu.data.datasets import (Cub2011, Flowers102, Food101,  # noqa: F401
+                                   OxfordIIITPet, StanfordCars)
 from mcm_tpu.data.labels import get_num_cls, get_test_labels  # noqa: F401
 from mcm_tpu.data.loaders import (default_out_datasets, set_ood_loader,  # noqa: F401
                                   set_train_loader, set_val_loader)

@@ -1,4 +1,5 @@
-"""Fine-grained benchmark datasets: CUB-200, Stanford-Cars, Food-101, Pet-37.
+"""Fine-grained benchmark datasets: CUB-200, Stanford-Cars, Food-101,
+Pet-37, Flowers-102.
 
 Re-implementations of the reference dataset classes
 (``/root/reference/dataloaders/{bird200,car196,food101,pet37}.py``) with the
@@ -184,6 +185,62 @@ class OxfordIIITPet(_PathLabelDataset):
                 {(i.rsplit("_", 1)[0], l) for i, l in zip(image_ids, labels)},
                 key=lambda pair: pair[1])
         ]
+
+
+class Flowers102(_PathLabelDataset):
+    """Oxford Flowers-102.  The reference README lists ``flower102`` as an
+    accepted ``--in_dataset`` (``/root/reference/README.md:104``) but ships
+    no dataloader or CLI branch for it — a promised capability made real
+    here, like ODIN.  Standard torchvision layout: ``flowers-102/jpg/
+    image_XXXXX.jpg`` + ``imagelabels.mat`` (1-based labels) +
+    ``setid.mat`` (``trnid``/``valid``/``tstid`` 1-based image ids).
+    Display names follow the dataset website's label ordering
+    (packaged asset — the archive itself ships no names)."""
+
+    _URLS = {
+        "image": ("https://www.robots.ox.ac.uk/~vgg/data/flowers/102/"
+                  "102flowers.tgz", "52808999861908f626f3c1f4e79d11fa"),
+        "label": ("https://www.robots.ox.ac.uk/~vgg/data/flowers/102/"
+                  "imagelabels.mat", "e0620be6f572b9609742df49c70aed4d"),
+        "setid": ("https://www.robots.ox.ac.uk/~vgg/data/flowers/102/"
+                  "setid.mat", "a5357ecc9cb78c4bef273ce3793fc85c"),
+    }
+    _SPLIT_KEY = {"train": "trnid", "val": "valid", "test": "tstid"}
+
+    def __init__(self, root: str, split: str = "train",
+                 download: bool = False):
+        assert split in self._SPLIT_KEY
+        import scipy.io as sio
+
+        base = os.path.join(root, "flowers-102")
+        img_dir = os.path.join(base, "jpg")
+        if download and not os.path.isdir(img_dir):
+            url, md5 = self._URLS["image"]
+            download_and_extract(url, base, md5)
+            for key in ("label", "setid"):
+                url, md5 = self._URLS[key]
+                fname = os.path.join(base, url.rsplit("/", 1)[1])
+                if not os.path.exists(fname):
+                    download_and_extract(url, base, md5)
+        setid_path = os.path.join(base, "setid.mat")
+        if not os.path.exists(setid_path):
+            raise FileNotFoundError(f"Flowers-102 metadata missing: "
+                                    f"{setid_path}")
+
+        ids = sio.loadmat(setid_path,
+                          squeeze_me=True)[self._SPLIT_KEY[split]]
+        labels = sio.loadmat(os.path.join(base, "imagelabels.mat"),
+                             squeeze_me=True)["labels"]
+        self.samples = [
+            (os.path.join(img_dir, f"image_{i:05d}.jpg"),
+             int(labels[i - 1]) - 1)  # both ids and labels are 1-based
+            for i in sorted(int(i) for i in ids)
+        ]
+        names_path = os.path.join(os.path.dirname(__file__), "assets",
+                                  "flowers102_names.txt")
+        with open(names_path) as f:
+            self.class_names_str = [ln for ln in f.read().splitlines() if ln]
+        assert len(self.class_names_str) == 102
 
 
 class StanfordCars(_PathLabelDataset):

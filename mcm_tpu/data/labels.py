@@ -107,6 +107,7 @@ NUM_CLASSES = {
     "pet37": 37,
     "ImageNet100": 100,
     "food101": 101,
+    "flower102": 102,
     "car196": 196,
     "bird200": 200,
     "ImageNet": 1000,
@@ -144,7 +145,7 @@ def get_test_labels(in_dataset: str, dataset=None) -> Sequence[str]:
         return imagenet20_classes()
     if in_dataset == "ImageNet100":
         return imagenet100_classes()
-    if in_dataset in ("bird200", "car196", "food101", "pet37"):
+    if in_dataset in ("bird200", "car196", "food101", "pet37", "flower102"):
         if dataset is None or getattr(dataset, "class_names_str", None) is None:
             raise ValueError(f"{in_dataset} needs a dataset with "
                              "class_names_str")

@@ -20,8 +20,8 @@ from __future__ import annotations
 import os
 from typing import Optional
 
-from mcm_tpu.data.datasets import (Cub2011, Food101, OxfordIIITPet,
-                                   StanfordCars)
+from mcm_tpu.data.datasets import (Cub2011, Flowers102, Food101,
+                                   OxfordIIITPet, StanfordCars)
 from mcm_tpu.data.folder import ImageFolder, subset_per_class
 
 
@@ -39,6 +39,9 @@ def set_val_loader(in_dataset: str, root_dir: str):
         return OxfordIIITPet(root_dir, split="test", download=True)
     if in_dataset == "bird200":
         return Cub2011(root_dir, train=False)
+    if in_dataset == "flower102":
+        # promised by the reference README (:104) with no code behind it
+        return Flowers102(root_dir, split="test", download=True)
     raise ValueError(f"unknown in_dataset: {in_dataset}")
 
 
@@ -58,6 +61,8 @@ def set_train_loader(in_dataset: str, root_dir: str, subset: bool = False,
         return OxfordIIITPet(root_dir, split="trainval", download=True)
     if in_dataset == "bird200":
         return Cub2011(root_dir, train=True)
+    if in_dataset == "flower102":
+        return Flowers102(root_dir, split="train", download=True)
     raise ValueError(f"unknown in_dataset: {in_dataset}")
 
 
@@ -91,6 +96,6 @@ def default_out_datasets(in_dataset: str):
     if in_dataset == "ImageNet20":
         return ["ImageNet10"]
     if in_dataset in ("ImageNet", "ImageNet100", "bird200", "car196",
-                      "food101", "pet37"):
+                      "food101", "pet37", "flower102"):
         return ["iNaturalist", "SUN", "places365", "dtd"]
     raise ValueError(f"unknown in_dataset: {in_dataset}")

@@ -124,3 +124,29 @@ def make_cars_tree(root: str, n_classes: int = 3, per_class: int = 2,
                        dtype=dt)
         sio.savemat(ann_path, {"annotations": ann})
     return root
+
+
+def make_flowers_tree(root: str, n_classes: int = 4, per_class: int = 3,
+                      seed: int = 0) -> str:
+    """Oxford Flowers-102 layout: ``flowers-102/jpg/image_XXXXX.jpg`` +
+    ``imagelabels.mat``/``setid.mat``.  Each class contributes one train,
+    one val, and ``per_class - 2`` test images (ids round-robin classes)."""
+    import scipy.io as sio
+
+    rng = np.random.default_rng(seed)
+    base = os.path.join(root, "flowers-102")
+    n = n_classes * per_class
+    labels = np.array([(i % n_classes) + 1 for i in range(n)])  # 1-based
+    for i in range(1, n + 1):
+        _write_jpeg(os.path.join(base, "jpg", f"image_{i:05d}.jpg"), rng,
+                    color_bias=10 * labels[i - 1])
+    ids = np.arange(1, n + 1)
+    trn = ids[:n_classes]                      # first image of each class
+    val = ids[n_classes:2 * n_classes]
+    tst = ids[2 * n_classes:]
+    sio.savemat(os.path.join(base, "imagelabels.mat"),
+                {"labels": labels.reshape(1, -1)})
+    sio.savemat(os.path.join(base, "setid.mat"),
+                {"trnid": trn.reshape(1, -1), "valid": val.reshape(1, -1),
+                 "tstid": tst.reshape(1, -1)})
+    return root
