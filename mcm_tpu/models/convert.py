@@ -1,17 +1,21 @@
-"""Checkpoint conversion: HuggingFace CLIP → our JAX parameter pytree.
+"""Checkpoint conversion: HF or OpenAI CLIP → our JAX parameter pytree.
 
 The reference pulls weights straight from the HF hub
-(``/root/reference/utils/train_eval_util.py:23``).  Here conversion is an
-explicit, offline-friendly step: point at a local directory containing an HF
-``openai/clip-vit-*`` checkpoint (``model.safetensors`` or
-``pytorch_model.bin``) and get back the pytree consumed by
-:mod:`mcm_tpu.models.clip`.  Converted pytrees can be cached as native
-`.npz` bundles so the torch/safetensors dependency is only needed once.
+(``/root/reference/utils/train_eval_util.py:23``) and its README also
+blesses the original OpenAI checkpoints.  Here conversion is an explicit,
+offline-friendly step accepting either format: a local HF
+``openai/clip-vit-*`` snapshot (``model.safetensors`` /
+``pytorch_model.bin``) or an original OpenAI ``ViT-*-*.pt`` TorchScript
+archive from github.com/openai/CLIP — both converge to the same pytree
+consumed by :mod:`mcm_tpu.models.clip` (equivalence-tested).  Converted
+pytrees can be cached as native `.npz` bundles so the torch/safetensors
+dependency is only needed once.
 
 Resolution order for a checkpoint name (e.g. ``ViT-B/16``):
   1. ``$MCM_TPU_CKPT_DIR/<sanitized-name>.npz``  (our native cache)
-  2. ``$MCM_TPU_CKPT_DIR/<hf-repo-basename>/``   (local HF snapshot)
-  3. the HF cache (``~/.cache/huggingface``) if the snapshot exists there
+  2. ``$MCM_TPU_CKPT_DIR/<sanitized-name>.pt``   (OpenAI checkpoint)
+  3. ``$MCM_TPU_CKPT_DIR/<hf-repo-basename>/``   (local HF snapshot)
+  4. the HF cache (``~/.cache/huggingface``) if the snapshot exists there
 """
 
 from __future__ import annotations
@@ -51,10 +55,15 @@ def load_state_dict(path: str) -> Dict[str, np.ndarray]:
     if path.endswith(".safetensors"):
         from safetensors.numpy import load_file
         return dict(load_file(path))
-    # torch pickle fallback (CPU only)
+    # torch pickle fallback (CPU only); OpenAI's published CLIP
+    # checkpoints are TorchScript archives — torch.load can't unpickle
+    # those, torch.jit.load can (we only want the state dict)
     import torch
-    sd = torch.load(path, map_location="cpu", weights_only=True)
-    return {k: v.numpy() for k, v in sd.items()}
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:  # noqa: BLE001 — zipfile/jit archive
+        sd = torch.jit.load(path, map_location="cpu").state_dict()
+    return {k: v.float().numpy() for k, v in sd.items()}
 
 
 # ---------------------------------------------------------------------------
@@ -127,7 +136,109 @@ def convert_hf_clip(sd: Dict[str, np.ndarray], cfg: CLIPConfig) -> Params:
         "proj": sd["text_projection.weight"].T.astype(np.float32),
     }
     return {"vision": vision, "text": text,
-            "logit_scale": sd["logit_scale"].astype(np.float32)}
+            "logit_scale": _scalar(sd["logit_scale"])}
+
+
+def _scalar(x) -> np.ndarray:
+    """Normalize logit_scale to a () fp32 array (checkpoints variously
+    store it 0-d or shape-(1,))."""
+    return np.asarray(x, np.float32).reshape(())
+
+
+# ---------------------------------------------------------------------------
+# OpenAI (github.com/openai/CLIP) state dict → pytree
+# ---------------------------------------------------------------------------
+
+def _openai_tower_layers(sd: Dict[str, np.ndarray], prefix: str,
+                         n: int, width: int) -> Params:
+    """OpenAI packs q/k/v as one ``attn.in_proj_weight`` [3D, D] (torch
+    ``MultiheadAttention`` row order q, k, v) and names MLP matrices
+    ``c_fc``/``c_proj``; everything else maps 1:1 to the HF layout."""
+    def g(i, name):
+        return sd[f"{prefix}.resblocks.{i}.{name}"]
+
+    def stack(name, transpose):
+        mats = [g(i, name) for i in range(n)]
+        if transpose:
+            mats = [m.T for m in mats]
+        return np.stack(mats).astype(np.float32)
+
+    def qkv(sl, bias):
+        leaf = "attn.in_proj_bias" if bias else "attn.in_proj_weight"
+        mats = [g(i, leaf)[sl] for i in range(n)]
+        if not bias:
+            mats = [m.T for m in mats]
+        return np.stack(mats).astype(np.float32)
+
+    d = width
+    q, k, v = slice(0, d), slice(d, 2 * d), slice(2 * d, 3 * d)
+    return {
+        "ln1": {"scale": stack("ln_1.weight", False),
+                "bias": stack("ln_1.bias", False)},
+        "attn": {
+            "wq": qkv(q, False), "bq": qkv(q, True),
+            "wk": qkv(k, False), "bk": qkv(k, True),
+            "wv": qkv(v, False), "bv": qkv(v, True),
+            "wo": stack("attn.out_proj.weight", True),
+            "bo": stack("attn.out_proj.bias", False),
+        },
+        "ln2": {"scale": stack("ln_2.weight", False),
+                "bias": stack("ln_2.bias", False)},
+        "mlp": {
+            "w1": stack("mlp.c_fc.weight", True),
+            "b1": stack("mlp.c_fc.bias", False),
+            "w2": stack("mlp.c_proj.weight", True),
+            "b2": stack("mlp.c_proj.bias", False),
+        },
+    }
+
+
+def convert_openai_clip(sd: Dict[str, np.ndarray],
+                        cfg: CLIPConfig) -> Params:
+    """Map an original OpenAI CLIP state dict (``ViT-B-16.pt`` et al. from
+    github.com/openai/CLIP — TorchScript archives) onto our pytree.
+
+    The reference README blesses these checkpoints alongside the HF ones
+    (``/root/reference/README.md``: "Similar results can be obtained with
+    checkpoints in the codebase by OpenAI") but its code only loads HF;
+    here both formats converge to the same pytree (equivalence-tested).
+    Note: OpenAI's ``visual.proj``/``text_projection`` are stored already
+    oriented for ``x @ proj`` — no transpose, unlike HF Linear weights."""
+    p = cfg.vision.patch_size
+    conv_w = sd["visual.conv1.weight"]  # (D, 3, p, p), no bias in OpenAI
+    patch_embed = conv_w.transpose(2, 3, 1, 0).reshape(p * p * 3,
+                                                       cfg.vision.width)
+    vision = {
+        "patch_embed": patch_embed.astype(np.float32),
+        "class_emb": sd["visual.class_embedding"].astype(np.float32),
+        "pos_emb": sd["visual.positional_embedding"].astype(np.float32),
+        "pre_ln": {"scale": sd["visual.ln_pre.weight"].astype(np.float32),
+                   "bias": sd["visual.ln_pre.bias"].astype(np.float32)},
+        "layers": _openai_tower_layers(sd, "visual.transformer",
+                                       cfg.vision.layers, cfg.vision.width),
+        "post_ln": {"scale": sd["visual.ln_post.weight"].astype(np.float32),
+                    "bias": sd["visual.ln_post.bias"].astype(np.float32)},
+        "proj": sd["visual.proj"].astype(np.float32),
+    }
+    text = {
+        "token_emb": sd["token_embedding.weight"].astype(np.float32),
+        "pos_emb": sd["positional_embedding"].astype(np.float32),
+        "layers": _openai_tower_layers(sd, "transformer",
+                                       cfg.text.layers, cfg.text.width),
+        "final_ln": {"scale": sd["ln_final.weight"].astype(np.float32),
+                     "bias": sd["ln_final.bias"].astype(np.float32)},
+        "proj": sd["text_projection"].astype(np.float32),
+    }
+    return {"vision": vision, "text": text,
+            "logit_scale": _scalar(sd["logit_scale"])}
+
+
+def convert_clip_state_dict(sd: Dict[str, np.ndarray],
+                            cfg: CLIPConfig) -> Params:
+    """Format-sniffing entry point: HF ``CLIPModel`` or OpenAI layout."""
+    if "visual.proj" in sd or "visual.conv1.weight" in sd:
+        return convert_openai_clip(sd, cfg)
+    return convert_hf_clip(sd, cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -211,13 +322,17 @@ def resolve_clip_params(ckpt_name: str,
         return load_params(native)
 
     repo_id = HF_CKPT_MAPPING[ckpt_name]
-    candidates = [os.path.join(ckpt_dir, repo_id.split("/")[-1])]
+    # OpenAI's published filename for this architecture is exactly the
+    # sanitized name ("ViT-B/16" → "ViT-B-16.pt")
+    candidates = [os.path.join(ckpt_dir, _sanitize(ckpt_name) + ".pt"),
+                  os.path.join(ckpt_dir, repo_id.split("/")[-1])]
     snap = _hf_cache_snapshot(repo_id)
     if snap:
         candidates.append(snap)
     for cand in candidates:
-        if os.path.isdir(cand):
-            params = convert_hf_clip(load_state_dict(cand), cfg)
+        if os.path.isdir(cand) or (cand.endswith(".pt")
+                                   and os.path.exists(cand)):
+            params = convert_clip_state_dict(load_state_dict(cand), cfg)
             try:  # cache the converted pytree for next time
                 os.makedirs(ckpt_dir, exist_ok=True)
                 save_params(params, native)

@@ -107,6 +107,57 @@ def synth_hf_clip_state_dict(cfg: CLIPConfig,
             for k, s in hf_clip_key_shapes(cfg).items()}
 
 
+def hf_to_openai_state_dict(hf_sd: Dict[str, np.ndarray],
+                            cfg: CLIPConfig) -> Dict[str, np.ndarray]:
+    """Re-express an HF ``CLIPModel`` state dict in the original OpenAI
+    (github.com/openai/CLIP) key layout, value-preserving: q/k/v packed
+    into ``attn.in_proj_*`` (row order q,k,v), ``fc1/fc2`` → ``c_fc/
+    c_proj``, projections transposed back to the ``x @ proj``
+    orientation.  Lets the two converters be equivalence-tested on the
+    same underlying weights without real checkpoints."""
+    out: Dict[str, np.ndarray] = {
+        "logit_scale": hf_sd["logit_scale"],
+        "visual.conv1.weight":
+            hf_sd["vision_model.embeddings.patch_embedding.weight"],
+        "visual.class_embedding":
+            hf_sd["vision_model.embeddings.class_embedding"],
+        "visual.positional_embedding":
+            hf_sd["vision_model.embeddings.position_embedding.weight"],
+        "visual.ln_pre.weight": hf_sd["vision_model.pre_layrnorm.weight"],
+        "visual.ln_pre.bias": hf_sd["vision_model.pre_layrnorm.bias"],
+        "visual.ln_post.weight": hf_sd["vision_model.post_layernorm.weight"],
+        "visual.ln_post.bias": hf_sd["vision_model.post_layernorm.bias"],
+        "visual.proj": hf_sd["visual_projection.weight"].T,
+        "token_embedding.weight":
+            hf_sd["text_model.embeddings.token_embedding.weight"],
+        "positional_embedding":
+            hf_sd["text_model.embeddings.position_embedding.weight"],
+        "ln_final.weight": hf_sd["text_model.final_layer_norm.weight"],
+        "ln_final.bias": hf_sd["text_model.final_layer_norm.bias"],
+        "text_projection": hf_sd["text_projection.weight"].T,
+    }
+    towers = (("vision_model", "visual.transformer", cfg.vision.layers),
+              ("text_model", "transformer", cfg.text.layers))
+    for hf_tower, oai_tower, n in towers:
+        for i in range(n):
+            hp = f"{hf_tower}.encoder.layers.{i}"
+            op = f"{oai_tower}.resblocks.{i}"
+            out[f"{op}.attn.in_proj_weight"] = np.concatenate(
+                [hf_sd[f"{hp}.self_attn.{w}.weight"]
+                 for w in ("q_proj", "k_proj", "v_proj")], axis=0)
+            out[f"{op}.attn.in_proj_bias"] = np.concatenate(
+                [hf_sd[f"{hp}.self_attn.{w}.bias"]
+                 for w in ("q_proj", "k_proj", "v_proj")], axis=0)
+            for hf_name, oai_name in (
+                    ("self_attn.out_proj", "attn.out_proj"),
+                    ("layer_norm1", "ln_1"), ("layer_norm2", "ln_2"),
+                    ("mlp.fc1", "mlp.c_fc"), ("mlp.fc2", "mlp.c_proj")):
+                out[f"{op}.{oai_name}.weight"] = \
+                    hf_sd[f"{hp}.{hf_name}.weight"]
+                out[f"{op}.{oai_name}.bias"] = hf_sd[f"{hp}.{hf_name}.bias"]
+    return out
+
+
 def probe_inputs(seed: int = 0, batch: int = 8, n_prompts: int = 16,
                  image_size: int = 224, context: int = 77,
                  vocab_size: int = 49408):

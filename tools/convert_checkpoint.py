@@ -1,13 +1,16 @@
 #!/usr/bin/env python
-"""Convert HF checkpoints into native mcm_tpu parameter bundles.
+"""Convert HF or OpenAI checkpoints into native mcm_tpu parameter bundles.
 
 Usage:
   python tools/convert_checkpoint.py --model clip --ckpt ViT-B/16 \
       --src /path/to/hf/clip-vit-base-patch16 --out checkpoints/
+  python tools/convert_checkpoint.py --model clip --ckpt ViT-B/16 \
+      --src /path/to/ViT-B-16.pt --out checkpoints/   # openai/CLIP format
   python tools/convert_checkpoint.py --model vit \
       --src /path/to/hf/vit-base-patch16-224 --out checkpoints/
 
-Accepts an HF snapshot directory (model.safetensors or pytorch_model.bin).
+Accepts an HF snapshot directory (model.safetensors or pytorch_model.bin)
+or an original OpenAI CLIP ``.pt`` (TorchScript archive; format sniffed).
 Outputs an .npz pytree bundle (or an orbax directory with --format orbax)
 that loads without torch/safetensors installed.
 """
@@ -31,13 +34,15 @@ def main():
     args = p.parse_args()
 
     from mcm_tpu.config import CLIP_CONFIGS, SupervisedViTConfig
-    from mcm_tpu.models.convert import (convert_hf_clip, load_state_dict,
-                                        save_params, save_params_orbax)
+    from mcm_tpu.models.convert import (convert_clip_state_dict,
+                                        load_state_dict, save_params,
+                                        save_params_orbax)
 
     sd = load_state_dict(args.src)
     if args.model == "clip":
         cfg = CLIP_CONFIGS[args.ckpt]()
-        params = convert_hf_clip(sd, cfg)
+        # sniffs HF CLIPModel vs original OpenAI (ViT-*-*.pt) layouts
+        params = convert_clip_state_dict(sd, cfg)
         stem = args.ckpt.replace("/", "-")
     else:
         from mcm_tpu.models.vit import convert_hf_vit
