@@ -25,7 +25,7 @@ def process_args():
     p.add_argument("--in_dataset", default="ImageNet", type=str,
                    choices=["ImageNet", "ImageNet10", "ImageNet20",
                             "ImageNet100", "pet37", "food101", "car196",
-                            "bird200"])
+                            "bird200", "flower102"])
     p.add_argument("--root-dir", default="datasets", type=str)
     p.add_argument("--name", default="eval_msp", type=str)
     p.add_argument("--seed", default=5, type=int)
@@ -43,8 +43,6 @@ def process_args():
 
 def main():
     args = process_args()
-    import numpy as np
-
     from mcm_tpu.data import (default_out_datasets, set_ood_loader,
                               set_val_loader)
     from mcm_tpu.metrics import get_measures, print_measures

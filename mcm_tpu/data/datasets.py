@@ -214,9 +214,12 @@ class Flowers102(_PathLabelDataset):
 
         base = os.path.join(root, "flowers-102")
         img_dir = os.path.join(base, "jpg")
-        if download and not os.path.isdir(img_dir):
-            url, md5 = self._URLS["image"]
-            download_and_extract(url, base, md5)
+        if download:
+            # each piece gated on its OWN presence: a tree with images but
+            # missing metadata (interrupted fetch, partial copy) must heal
+            if not os.path.isdir(img_dir):
+                url, md5 = self._URLS["image"]
+                download_and_extract(url, base, md5)
             for key in ("label", "setid"):
                 url, md5 = self._URLS[key]
                 fname = os.path.join(base, url.rsplit("/", 1)[1])

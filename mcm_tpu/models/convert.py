@@ -61,8 +61,16 @@ def load_state_dict(path: str) -> Dict[str, np.ndarray]:
     import torch
     try:
         sd = torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:  # noqa: BLE001 — zipfile/jit archive
-        sd = torch.jit.load(path, map_location="cpu").state_dict()
+    except Exception as plain_err:  # noqa: BLE001 — maybe a jit archive
+        try:
+            sd = torch.jit.load(path, map_location="cpu").state_dict()
+        except Exception:
+            # neither format: surface the ORIGINAL torch.load failure
+            # (corruption / weights_only rejection), not a misleading
+            # "not a TorchScript archive" message
+            raise RuntimeError(
+                f"{path} loads as neither a plain state dict nor a "
+                f"TorchScript archive") from plain_err
     return {k: v.float().numpy() for k, v in sd.items()}
 
 

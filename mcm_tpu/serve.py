@@ -261,6 +261,7 @@ class MicroBatcher:
         self._closed = False
         self._lock = threading.Lock()   # orders submit()s vs close()
         self._outstanding = 0           # unresolved futures, for max_pending
+        self._pending = None            # claimed in-flight batch
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="mcm-microbatcher")
         self._thread.start()
@@ -374,12 +375,16 @@ class MicroBatcher:
         device_scores, reqs = pending
         try:
             host = np.asarray(device_scores)  # the real barrier + D2H
+            # materialize every value BEFORE resolving anything: an
+            # indexing failure (broken _score_device returning too few
+            # scores) must fail the whole batch, not resolve a prefix
+            values = [float(host[i]) for i in range(len(reqs))]
         except Exception as e:  # noqa: BLE001 — fan the failure out
             MicroBatcher._fail(reqs, e)
             return
-        for i, (_, fut) in enumerate(reqs):
+        for (_, fut), val in zip(reqs, values):
             try:
-                fut.set_result(float(host[i]))
+                fut.set_result(val)
             except InvalidStateError:
                 pass  # cancelled between dispatch-claim and readback
 
@@ -405,8 +410,13 @@ class MicroBatcher:
             self._loop_inner()
         except BaseException as e:  # noqa: BLE001 — dispatcher must not
             # die silently: refuse new work and fail whatever is queued
+            # AND the claimed in-flight batch (its futures are RUNNING —
+            # leaving them unresolved would hang their callers forever)
             with self._lock:
                 self._closed = True
+            if self._pending is not None:
+                self._fail(self._pending[1], e)
+                self._pending = None
             while True:
                 try:
                     item = self._queue.get_nowait()
@@ -417,23 +427,26 @@ class MicroBatcher:
             raise
 
     def _loop_inner(self):
-        pending = None
+        # the in-flight batch lives on the instance so the crash handler
+        # in _loop can fail its futures
+        self._pending = None
         shutdown = False
         while not shutdown:
-            reqs, shutdown = self._collect(block=pending is None)
+            reqs, shutdown = self._collect(block=self._pending is None)
             if not reqs and not shutdown:
                 # queue went idle with a batch in flight: read it back now
-                self._resolve(pending)
-                pending = None
+                done, self._pending = self._pending, None
+                self._resolve(done)
                 continue
             new_pending = self._run_batch(reqs) if reqs else None
-            if pending is not None:
-                self._resolve(pending)
-            pending = new_pending
+            done, self._pending = self._pending, new_pending
+            if done is not None:
+                self._resolve(done)
         # requests coalesced together with the shutdown sentinel (submit
         # holds the close() lock, so nothing arrives after the sentinel)
-        if pending is not None:
-            self._resolve(pending)
+        if self._pending is not None:
+            done, self._pending = self._pending, None
+            self._resolve(done)
         while True:
             try:
                 item = self._queue.get_nowait()

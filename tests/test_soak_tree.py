@@ -50,3 +50,14 @@ def test_resize_preserves_train_split(tmp_path):
     build_tree(root, id_images=80, ood_images=8, train_images=1000)
     assert _counts(root) == (80, 8 * len(OOD_SETS), 1000)
     assert os.path.getmtime(probe) == mtime  # train cache reused
+
+
+def test_resize_train_split_rebuilds(tmp_path):
+    """Shrinking train_images must rebuild the train split too — leftover
+    JPEGs would silently inflate the Mahalanobis template estimation the
+    train split exists to feed."""
+    root = str(tmp_path / "soak")
+    build_tree(root, id_images=40, ood_images=8, train_images=2000)
+    assert _counts(root)[2] == 2000
+    build_tree(root, id_images=40, ood_images=8, train_images=1000)
+    assert _counts(root) == (40, 8 * len(OOD_SETS), 1000)

@@ -39,18 +39,21 @@ def main():
             best = min(best, (time.perf_counter() - t0) / CHAIN)
         return best
 
-    # Every chain carries the WEIGHT matrix through the loop (rolled one
-    # column per iteration — a few MB, negligible next to the matmul), so
-    # the dot has a genuine loop-carried dependence and no optimizer pass
-    # can hoist/CSE it out (the attn_shootout methodology; an accumulator
-    # that only consumes y[:1,:1] of a loop-invariant dot relies on XLA
-    # *declining* to LICM it).
+    # Two honesty properties, both load-bearing:
+    # (a) the weight matrix is carried through the loop (rolled one column
+    #     per iteration) so the dot has a loop-carried dependence and no
+    #     pass can hoist/CSE it out of the timed region;
+    # (b) the accumulator consumes the FULL output (jnp.sum over all of
+    #     y), so no slice-narrowing rewrite can legally shrink the matmul
+    #     (an acc fed from y[:1,:1] would permit computing x[:1] @ w[:,:1]
+    #     — 2·K FLOPs — instead of the full product).
+    # The M×N reduction this adds is ~K/2 = 384× cheaper than the matmul.
 
     def bf16_chain(x, w):
         def body(i, carry):
             w, acc = carry
             y = jnp.dot(x, w, preferred_element_type=jnp.float32)
-            return jnp.roll(w, 1, axis=1), acc + jnp.sum(y[:1, :1])
+            return jnp.roll(w, 1, axis=1), acc + jnp.sum(y)
         return jax.lax.fori_loop(0, CHAIN, body, (w, jnp.float32(0)))[1]
 
     def int8_chain(x, w):
@@ -58,8 +61,11 @@ def main():
             w, acc = carry
             y = jax.lax.dot_general(x, w, (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.int32)
-            return jnp.roll(w, 1, axis=1), acc + jnp.sum(y[:1, :1])
-        return jax.lax.fori_loop(0, CHAIN, body, (w, jnp.int32(0)))[1]
+            # fp32 sum: an int32 full-tensor sum would overflow (UB-free
+            # but meaningless); the cast cost is part of (b)'s 1/384 tax
+            return jnp.roll(w, 1, axis=1), acc + jnp.sum(
+                y.astype(jnp.float32))
+        return jax.lax.fori_loop(0, CHAIN, body, (w, jnp.float32(0)))[1]
 
     # quantize-on-the-fly variant: bf16 act -> int8 in the loop.  The
     # activations are ALSO chained (data-dependent epsilon) so the
@@ -72,7 +78,7 @@ def main():
             xq = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
             y = jax.lax.dot_general(xq, w, (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.int32)
-            out = jnp.sum(y[:1, :1]).astype(jnp.float32) * s
+            out = jnp.sum(y.astype(jnp.float32)) * s
             x = x + (out * 1e-30).astype(x.dtype)
             return x, jnp.roll(w, 1, axis=1), acc + out
         return jax.lax.fori_loop(0, CHAIN, body,

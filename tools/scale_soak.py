@@ -68,6 +68,14 @@ def build_tree(root: str, id_images: int, ood_images: int,
         # and get_test_labels(ImageNet) is the full 1000-class list
         tmarker = os.path.join(root, f".soak_train_{train_images}")
         if not os.path.exists(tmarker):
+            # same stale-tree rule as val/OOD: a resized train split must
+            # not leave the old extra JPEGs underneath the new ones
+            import shutil
+            shutil.rmtree(os.path.join(root, "ImageNet", "train"),
+                          ignore_errors=True)
+            for m in os.listdir(root) if os.path.isdir(root) else []:
+                if m.startswith(".soak_train"):
+                    os.unlink(os.path.join(root, m))
             print(f"building {train_images} train JPEGs (1000 classes) …")
             train_wnids = [f"n{i:08d}" for i in range(1, 1001)]
             make_imagefolder_tree(os.path.join(root, "ImageNet", "train"),
