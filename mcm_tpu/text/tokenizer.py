@@ -5,7 +5,12 @@ hot loop (``/root/reference/utils/detection_util.py:216,228``).  Here
 tokenization is a host-side, once-per-dataset step.  The implementation is
 the standard byte-level BPE used by GPT-2/CLIP:
 
-* NFC-free whitespace cleanup + lowercasing (HF CLIPTokenizer behavior);
+* the HF pre-tokenizer pass (HF runs a ``BasicTokenizer`` when ftfy is
+  absent — the reference's realized environment): control-char removal,
+  spaces inserted around CJK codepoints, NFC normalization, whitespace
+  cleanup, lowercasing.  In-domain prompts are pure English so scores
+  never depended on the CJK/control handling, but id-for-id HF parity
+  holds out-of-domain too (fuzz-tested against CLIPTokenizer);
 * the CLIP split regex (``'s|'t|'re|...|letters|digit|other``);
 * byte→printable-unicode remapping so merges operate on visible chars;
 * greedy lowest-rank pair merging with the ``</w>`` end-of-word marker;
@@ -33,6 +38,33 @@ _PAT = re.compile(
     re.IGNORECASE,
 )
 _WHITESPACE = re.compile(r"\s+")
+
+# BasicTokenizer's CJK blocks: each such codepoint becomes its own word
+_CJK_RANGES = ((0x4E00, 0x9FFF), (0x3400, 0x4DBF), (0x20000, 0x2A6DF),
+               (0x2A700, 0x2B73F), (0x2B740, 0x2B81F), (0x2B820, 0x2CEAF),
+               (0xF900, 0xFAFF), (0x2F800, 0x2FA1F))
+
+
+def _pre_clean(text: str) -> str:
+    """HF ``BasicTokenizer``-equivalent pre-pass (the path HF's
+    CLIPTokenizer takes when ftfy is not installed, as in the reference's
+    environment): drop NUL/replacement/control chars, map all whitespace
+    to plain spaces, and space-separate CJK codepoints."""
+    import unicodedata
+    out = []
+    for ch in text:
+        cp = ord(ch)
+        if cp == 0 or cp == 0xFFFD:
+            continue
+        if ch not in "\t\n\r" and unicodedata.category(ch).startswith("C"):
+            continue  # control/format chars (Cc/Cf/...)
+        if any(lo <= cp <= hi for lo, hi in _CJK_RANGES):
+            out.append(f" {ch} ")
+        elif ch in "\t\n\r" or unicodedata.category(ch) == "Zs":
+            out.append(" ")
+        else:
+            out.append(ch)
+    return unicodedata.normalize("NFC", "".join(out))
 
 BOS_TOKEN = "<|startoftext|>"
 EOS_TOKEN = "<|endoftext|>"
@@ -186,7 +218,7 @@ class CLIPTokenizer:
     def encode(self, text: str) -> List[int]:
         """Token ids WITHOUT bos/eos framing.  Literal special tokens in the
         text map to their special ids (the split regex matches them whole)."""
-        text = _WHITESPACE.sub(" ", text).strip().lower()
+        text = _WHITESPACE.sub(" ", _pre_clean(text)).strip().lower()
         ids: List[int] = []
         for tok in _PAT.findall(text):
             if tok == BOS_TOKEN:

@@ -110,3 +110,26 @@ def test_literal_special_tokens_match_hf(ours, theirs):
     ref = theirs(text)["input_ids"]
     got = [ours.bos_id] + ours.encode(text) + [ours.eos_id]
     assert got == ref
+
+
+def test_fuzz_random_strings_match_hf(ours, theirs):
+    """300 random strings over a pool that stresses the pre-tokenizer
+    regex (case folding, contractions, digit runs, multi-byte UTF-8,
+    whitespace runs, emoji) — ids must match HF exactly on every one."""
+    import random
+
+    rnd = random.Random(1234)
+    pool = (
+        list("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
+        + list("0123456789")
+        + list(" .,!?'-_()[]{}:;\"@#$%^&*+=/\\|~`")
+        + list("éñüßçøæœ")
+        + list("漢字カタカナ한글")
+        + ["🌍", "🐱", "'s", "'t", "'re", "  ", "\t", "\n", "cat", "photo"]
+    )
+    for i in range(300):
+        n = rnd.randrange(0, 40)
+        text = "".join(rnd.choice(pool) for _ in range(n))
+        ref = theirs(text)["input_ids"]
+        got = [ours.bos_id] + ours.encode(text) + [ours.eos_id]
+        assert got == ref, f"case {i}: {text!r}: {got} != {ref}"

@@ -133,6 +133,13 @@ def main():
                          "ID + OOD maha sweeps, then a no-generate rerun "
                          "that must load the cached templates")
     args = ap.parse_args()
+    if args.maha and args.ood_images < 512:
+        # the maha path keeps the reference's OOD tail-drop quirk
+        # (detection_util.py:189): OOD scores truncate to a multiple of
+        # the 512 batch, so <512 OOD images yields an EMPTY score array
+        # and the (reference-faithful) scipy describe call dies on it
+        raise SystemExit("--maha needs --ood-images >= 512 (the preserved "
+                         "reference tail-drop would empty the OOD scores)")
 
     if args.maha:
         build_tree(args.root, args.id_images, args.ood_images,
