@@ -87,3 +87,33 @@ def test_odin_clip_closure(rng):
     x2 = perturb(x)
     assert x2.shape == x.shape
     assert not np.allclose(np.asarray(x2), np.asarray(x))
+
+
+def test_full_size_vit_converter_consumes_every_key():
+    """Real full-size HF ViT-base state dict (transformers.ViTConfig()
+    defaults ARE google/vit-base-patch16-224's architecture; random init,
+    no network) through the converter: every key read, shapes exact —
+    mirrors the CLIP converters' key-coverage tests."""
+    from mcm_tpu.config import SupervisedViTConfig
+
+    cfg_hf = transformers.ViTConfig(num_labels=1000)
+    with torch.device("meta"):  # shapes only — no 350 MB of random init
+        model = transformers.ViTForImageClassification(cfg_hf)
+    sd = {k: np.zeros(tuple(v.shape), np.float32)
+          for k, v in model.state_dict().items()}
+    cfg = SupervisedViTConfig(num_classes=1000)
+    accessed = set()
+
+    class Tracking(dict):
+        def __getitem__(self, k):
+            accessed.add(k)
+            return dict.__getitem__(self, k)
+
+    params = jvit.convert_hf_vit(Tracking(sd), cfg)
+    missing = set(sd) - accessed
+    assert not missing, f"converter never read: {sorted(missing)[:8]}"
+    assert params["patch_embed"].shape == (16 * 16 * 3, 768)
+    assert params["layers"]["attn"]["wq"].shape == (12, 768, 768)
+    assert params["layers"]["mlp"]["w1"].shape == (12, 768, 3072)
+    assert params["pos_emb"].shape == (197, 768)
+    assert params["head"]["w"].shape == (768, 1000)
