@@ -114,3 +114,25 @@ def test_estimate_normalized(rng):
     labels = rng.integers(0, 3, size=100)
     mu, _ = estimate_mean_precision(feats, labels, 3, normalize=True)
     np.testing.assert_allclose(np.linalg.norm(mu, axis=1), 1.0, rtol=1e-5)
+
+
+@pytest.mark.parametrize("score", CLIP_SCORES)
+def test_scores_degenerate_inputs_are_finite(rng, score):
+    """Single-class prompt sets, near-zero temperature (one-hot softmax →
+    the entropy 0·log0 guard), and duplicate classes must all yield
+    finite scores — serving calibrates thresholds on these values, so a
+    NaN would silently poison a quantile."""
+    img = rng.standard_normal((8, 16)).astype(np.float32)
+    one_txt = np.asarray(l2_normalize(jnp.asarray(
+        rng.standard_normal((1, 16)).astype(np.float32))))
+    dup_txt = np.repeat(one_txt, 5, axis=0)
+
+    for txt, T in [(one_txt, 1.0), (dup_txt, 1.0),
+                   (dup_txt, 1e-6), (one_txt, 1e6)]:
+        out = np.asarray(compute_scores(jnp.asarray(img), jnp.asarray(txt),
+                                        score=score, T=T))
+        assert np.isfinite(out).all(), (score, txt.shape, T)
+    # single class: softmax row is exactly one-hot
+    mcm = np.asarray(compute_scores(jnp.asarray(img), jnp.asarray(one_txt),
+                                    score="MCM", T=1.0))
+    np.testing.assert_allclose(mcm, -1.0, atol=1e-6)
