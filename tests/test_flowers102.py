@@ -83,3 +83,23 @@ def test_cli_flower102_end_to_end(root, tmp_path):
     assert csv.exists(), proc.stderr[-2000:]
     scores = np.load(log_dir / "ID_flower102_scores.npy")
     assert scores.shape == (8,) and np.isfinite(scores).all()
+
+
+def test_msp_baseline_cli_accepts_flower102(root, tmp_path):
+    """The MSP-baseline CLI's --in_dataset choices must track the main
+    CLI's (a round-2 review found flower102 missing there)."""
+    make_imagefolder_tree(os.path.join(root, "ImageNet_OOD_dataset", "dtd",
+                                       "images"), ["banded"], 4,
+                          color_bias=40)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "eval_msp_baseline.py"),
+         "--in_dataset", "flower102", "--root-dir", root,
+         "--name", "flmsp", "-b", "4", "--out_datasets", "dtd",
+         "--allow_random_weights", "--num_workers", "2"],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=600)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    csv = (tmp_path / "results" / "flower102" / "MSP_MCM" /
+           "vit_T_1.0_ID_flmsp" / "flmsp.csv")
+    assert csv.exists(), proc.stderr[-2000:]
