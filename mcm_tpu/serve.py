@@ -285,8 +285,6 @@ class MicroBatcher:
             raise ValueError(f"submit expects one [{s}, {s}, 3] image "
                              f"(batches go through score()); got "
                              f"{image_u8.shape}")
-        fut: Future = Future()
-        fut.add_done_callback(self._on_done)
         with self._lock:
             # the queue put happens under the same lock close() takes, so
             # every accepted request is enqueued BEFORE the shutdown
@@ -298,6 +296,8 @@ class MicroBatcher:
                 raise Overloaded(
                     f"{self._outstanding} requests already pending "
                     f"(max_pending={self.max_pending})")
+            fut: Future = Future()
+            fut.add_done_callback(self._on_done)
             self._outstanding += 1
             self._queue.put((image_u8.copy(), fut))
         return fut

@@ -27,6 +27,7 @@ from __future__ import annotations
 import functools
 import json
 import os
+import unicodedata
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -50,7 +51,6 @@ def _pre_clean(text: str) -> str:
     CLIPTokenizer takes when ftfy is not installed, as in the reference's
     environment): drop NUL/replacement/control chars, map all whitespace
     to plain spaces, and space-separate CJK codepoints."""
-    import unicodedata
     out = []
     for ch in text:
         cp = ord(ch)

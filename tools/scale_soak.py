@@ -34,6 +34,21 @@ OOD_DIRS = {"iNaturalist": "iNaturalist", "SUN": "SUN",
             "places365": "Places", "dtd": os.path.join("dtd", "images")}
 
 
+def _reset_stale_tree(root: str, subdirs, marker_prefix: str,
+                      spare_prefix: str = "") -> None:
+    """Remove a previously-built, differently-sized tree: rebuilding a
+    smaller tree over a larger one would leave the old extra JPEGs in
+    place and the soak would silently sweep more images than the summary
+    claims."""
+    import shutil
+    for sub in subdirs:
+        shutil.rmtree(os.path.join(root, sub), ignore_errors=True)
+    for m in os.listdir(root) if os.path.isdir(root) else []:
+        if m.startswith(marker_prefix) and not (
+                spare_prefix and m.startswith(spare_prefix)):
+            os.unlink(os.path.join(root, m))
+
+
 def build_tree(root: str, id_images: int, ood_images: int,
                train_images: int = 0) -> None:
     from util_synth import make_imagefolder_tree
@@ -41,16 +56,8 @@ def build_tree(root: str, id_images: int, ood_images: int,
     wnids = [f"n{i:08d}" for i in range(1, n_cls + 1)]
     marker = os.path.join(root, f".soak_{id_images}_{ood_images}")
     if not os.path.exists(marker):
-        # remove any previous, differently-sized tree first: rebuilding a
-        # smaller tree over a larger one would leave the old extra JPEGs
-        # in place and the soak would silently sweep more images than the
-        # summary claims
-        import shutil
-        for sub in ("ImageNet/val", "ImageNet_OOD_dataset"):
-            shutil.rmtree(os.path.join(root, sub), ignore_errors=True)
-        for m in os.listdir(root) if os.path.isdir(root) else []:
-            if m.startswith(".soak_") and not m.startswith(".soak_train"):
-                os.unlink(os.path.join(root, m))
+        _reset_stale_tree(root, ("ImageNet/val", "ImageNet_OOD_dataset"),
+                          ".soak_", spare_prefix=".soak_train")
         print(f"building {id_images} ID + 4×{ood_images} OOD JPEGs …")
         make_imagefolder_tree(os.path.join(root, "ImageNet", "val"), wnids,
                               per_class=id_images // n_cls, seed=1)
@@ -68,14 +75,7 @@ def build_tree(root: str, id_images: int, ood_images: int,
         # and get_test_labels(ImageNet) is the full 1000-class list
         tmarker = os.path.join(root, f".soak_train_{train_images}")
         if not os.path.exists(tmarker):
-            # same stale-tree rule as val/OOD: a resized train split must
-            # not leave the old extra JPEGs underneath the new ones
-            import shutil
-            shutil.rmtree(os.path.join(root, "ImageNet", "train"),
-                          ignore_errors=True)
-            for m in os.listdir(root) if os.path.isdir(root) else []:
-                if m.startswith(".soak_train"):
-                    os.unlink(os.path.join(root, m))
+            _reset_stale_tree(root, ("ImageNet/train",), ".soak_train")
             print(f"building {train_images} train JPEGs (1000 classes) …")
             train_wnids = [f"n{i:08d}" for i in range(1, 1001)]
             make_imagefolder_tree(os.path.join(root, "ImageNet", "train"),
