@@ -109,3 +109,21 @@ def test_against_reference_implementation(rng):
         a1, p1, f1 = get_measures(pos, neg)
         a2, p2, f2 = ref.get_measures(pos, neg)
         assert (a1, p1, f1) == pytest.approx((a2, p2, f2), abs=1e-12)
+
+
+def test_metrics_degenerate_sets_are_finite(rng):
+    """Tiny and all-tied score sets must produce finite metrics (the
+    reference would see these on very small --max_count subsets): one
+    sample per side, and every score identical."""
+    one_each = (np.array([1, 0], np.int32), np.array([2.0, 1.0]))
+    all_tied = (np.array([1, 1, 0, 0], np.int32), np.ones(4))
+    for labels, scores in (one_each, all_tied):
+        auroc = auroc_score(labels, scores)
+        aupr = aupr_score(labels, scores)
+        fpr = fpr_at_recall(labels, scores)
+        for v in (auroc, aupr, fpr):
+            assert np.isfinite(v), (labels, scores, auroc, aupr, fpr)
+    # perfect single-pair separation
+    assert auroc_score(*one_each) == 1.0
+    # all-tied scores carry no signal
+    assert auroc_score(*all_tied) == 0.5
