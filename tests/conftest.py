@@ -13,12 +13,19 @@ import os
 
 # belt (for subprocesses)...
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# jax 0.9's async CPU dispatch intermittently SIGABRTs in the
+# device-to-host of sharded arrays when one process compiles many
+# mesh/sharding variants (~1-in-5 full runs of test_train; reproduced,
+# and 10/10 clean with dispatch synchronous at no measurable cost).
+# CPU-only; the real TPU backend never sees this setting.
+os.environ.setdefault("JAX_CPU_ENABLE_ASYNC_DISPATCH", "false")
 
 # ...and suspenders (for this process, where jax may already be imported)
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_cpu_enable_async_dispatch", False)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
