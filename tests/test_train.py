@@ -1,122 +1,35 @@
-"""Training capability: contrastive fine-tune step + linear probe."""
+"""Sharded-train tests, subprocess-isolated.
 
-import numpy as np
-import pytest
+The actual assertions live unchanged in ``tests/train_suite.py`` (not
+collected directly — this wrapper runs them).  Why: jax 0.9's CPU
+runtime intermittently SIGABRTs in the device-to-host of a sharded
+array once a process has compiled many mesh/sharding variants, and
+every observed crash landed in this module's region (CLAUDE.md).  The
+subprocess keeps one jaxlib abort from killing the whole suite; the
+KNOWN abort (SIGABRT) is retried up to twice, while genuine test
+failures surface immediately with no retry.
+"""
 
-import jax
-import jax.numpy as jnp
+import os
+import subprocess
+import sys
 
-from mcm_tpu.config import CLIPConfig, Precision, TextConfig, VisionConfig
-from mcm_tpu.models.init import init_clip
-from mcm_tpu.parallel import make_mesh, shard_params
-from mcm_tpu.train import (clip_contrastive_loss, make_linear_probe_step,
-                           make_train_step)
-from mcm_tpu.train.linear_probe import train_linear_probe
-
-TINY = CLIPConfig(
-    name="tiny",
-    vision=VisionConfig(image_size=32, patch_size=8, width=64, layers=2,
-                        heads=4, projection_dim=32),
-    text=TextConfig(vocab_size=128, context_length=16, width=64, layers=2,
-                    heads=4, projection_dim=32),
-)
+HERE = os.path.dirname(os.path.abspath(__file__))
+SIGABRT_CODES = (-6, 134)  # signal form and shell-style 128+6
 
 
-def _batch(rng, n=8):
-    images = rng.integers(0, 256, size=(n, 32, 32, 3), dtype=np.uint8)
-    ids = rng.integers(1, 100, size=(n, 16)).astype(np.int32)
-    ids[:, -1] = 127
-    return images, ids, np.ones_like(ids)
-
-
-def test_contrastive_loss_perfect_alignment():
-    """Identical, one-hot-distinct embeddings → near-zero loss at high scale."""
-    feats = jnp.eye(4, 8)
-    loss = clip_contrastive_loss(feats, feats, jnp.asarray(4.6052))
-    assert float(loss) < 0.01
-    # random mismatch → ~log(4)
-    bad = jnp.roll(feats, 1, axis=0)
-    assert float(clip_contrastive_loss(feats, bad, jnp.asarray(4.6052))) > 2.0
-
-
-def test_train_step_reduces_loss(rng):
-    params = init_clip(jax.random.key(0), TINY)
-    init_state, step = make_train_step(TINY, precision=Precision.parity())
-    state = init_state(params)
-    images, ids, mask = _batch(rng)
-    losses = []
-    for _ in range(5):
-        state, loss = step(state, images, ids, mask)
-        losses.append(float(loss))
-    assert all(np.isfinite(losses))
-    assert losses[-1] < losses[0]  # memorizes one repeated batch
-
-
-def test_train_step_sharded_matches_single(rng):
-    params = init_clip(jax.random.key(0), TINY)
-    images, ids, mask = _batch(rng)
-
-    def one_loss(mesh):
-        p = shard_params(params, mesh)
-        init_state, step = make_train_step(TINY,
-                                           precision=Precision.parity(),
-                                           mesh=mesh, remat=False)
-        state, loss = step(init_state(p), images, ids, mask)
-        return float(loss)
-
-    l1 = one_loss(make_mesh(1))
-    l8 = one_loss(make_mesh(8, model_parallel=2))
-    assert l1 == pytest.approx(l8, rel=1e-5)
-
-
-def test_init_state_applies_tp_shardings(rng):
-    """init_state must place UN-sharded host params (the train_clip path)
-    with the TP param shardings — params, gradients, and both AdamW
-    moments otherwise replicate on every chip, defeating the model axis."""
-    from mcm_tpu.parallel.mesh import MODEL_AXIS
-
-    mesh = make_mesh(8, model_parallel=4)
-    init_state, step = make_train_step(TINY, precision=Precision.parity(),
-                                       mesh=mesh)
-    state = init_state(init_clip(0, TINY))  # plain numpy pytree in
-
-    def model_sharded(x):
-        spec = getattr(x.sharding, "spec", ())
-        return any(MODEL_AXIS in (s if isinstance(s, tuple) else (s,))
-                   for s in spec if s is not None)
-
-    wq = state.params["vision"]["layers"]["attn"]["wq"]
-    assert model_sharded(wq), wq.sharding
-    # optimizer moments inherit the placement (zeros_like over params)
-    mus = [l for l in jax.tree_util.tree_leaves(state.opt_state)
-           if getattr(l, "shape", None) == wq.shape]
-    assert mus and all(model_sharded(m) for m in mus)
-    # and the step still runs from this state
-    images, ids, mask = _batch(rng)
-    state, loss = step(state, images, ids, mask)
-    assert np.isfinite(float(loss))
-
-
-def test_remat_matches_no_remat(rng):
-    params = init_clip(jax.random.key(0), TINY)
-    images, ids, mask = _batch(rng)
-    outs = []
-    for remat in (False, True):
-        init_state, step = make_train_step(TINY,
-                                           precision=Precision.parity(),
-                                           remat=remat)
-        _, loss = step(init_state(params), images, ids, mask)
-        outs.append(float(loss))
-    assert outs[0] == pytest.approx(outs[1], rel=1e-6)
-
-
-def test_linear_probe_learns(rng):
-    # two linearly separable blobs
-    n = 200
-    feats = rng.standard_normal((n, 16)).astype(np.float32)
-    labels = (feats[:, 0] > 0).astype(np.int32)
-    feats[:, 1] = labels * 2.0  # make it easy
-    probe, loss, acc = train_linear_probe(feats, labels, 2, epochs=80,
-                                          batch_size=64)
-    assert acc > 0.95
-    assert np.isfinite(loss)
+def test_train_module_isolated():
+    cmd = [sys.executable, "-m", "pytest",
+           os.path.join(HERE, "train_suite.py"), "-q",
+           "-p", "no:cacheprovider"]
+    proc = None
+    for _ in range(3):
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              cwd=os.path.dirname(HERE), timeout=1200)
+        if proc.returncode == 0:
+            return
+        if proc.returncode not in SIGABRT_CODES:
+            break  # real failure: report it, don't retry
+    raise AssertionError(
+        f"train module failed (rc={proc.returncode}):\n"
+        f"{proc.stdout[-3000:]}\n{proc.stderr[-2000:]}")
