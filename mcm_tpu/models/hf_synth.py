@@ -43,6 +43,17 @@ def golden_config() -> CLIPConfig:
                         layers=6, heads=6, projection_dim=384))
 
 
+def synth_scale_config(name: str) -> CLIPConfig:
+    """Full-production-dimension configs for synthesized goldens: the real
+    ``ViT-B/16`` and ``ViT-L/14`` architectures (reference
+    ``train_eval_util.py:19-21`` checkpoints), so depth-/width-dependent
+    numerics (24-layer scan carry drift, heads=16 head_dim edge cases) are
+    pinned by CI — VERDICT r2 missing-item 3."""
+    from mcm_tpu.config import CLIP_CONFIGS
+
+    return CLIP_CONFIGS[{"b16": "ViT-B/16", "l14": "ViT-L/14"}[name]]()
+
+
 def hf_clip_key_shapes(cfg: CLIPConfig) -> Dict[str, Tuple[int, ...]]:
     """Every key of ``CLIPModel(cfg).state_dict()`` with its shape."""
     v, t = cfg.vision, cfg.text
@@ -156,6 +167,48 @@ def hf_to_openai_state_dict(hf_sd: Dict[str, np.ndarray],
                     hf_sd[f"{hp}.{hf_name}.weight"]
                 out[f"{op}.{oai_name}.bias"] = hf_sd[f"{hp}.{hf_name}.bias"]
     return out
+
+
+def hf_clip_config_kwargs(cfg: CLIPConfig) -> Dict[str, object]:
+    """kwargs for ``transformers.CLIPConfig`` matching ``cfg`` exactly
+    (QuickGELU, EOT = largest id).  Pure dicts — no torch import — shared by
+    the golden recorder and the cross-implementation e2e tests."""
+    return dict(
+        vision_config=dict(
+            image_size=cfg.vision.image_size,
+            patch_size=cfg.vision.patch_size,
+            hidden_size=cfg.vision.width,
+            num_hidden_layers=cfg.vision.layers,
+            num_attention_heads=cfg.vision.heads,
+            intermediate_size=cfg.vision.width * cfg.vision.mlp_ratio,
+            hidden_act="quick_gelu"),
+        text_config=dict(
+            vocab_size=cfg.text.vocab_size,
+            max_position_embeddings=cfg.text.context_length,
+            hidden_size=cfg.text.width,
+            num_hidden_layers=cfg.text.layers,
+            num_attention_heads=cfg.text.heads,
+            intermediate_size=cfg.text.width * cfg.text.mlp_ratio,
+            hidden_act="quick_gelu",
+            # EOT = largest id (OpenAI convention); HF pools the FIRST
+            # occurrence, our argmax pooling likewise — keep them aligned
+            eos_token_id=cfg.text.vocab_size - 1),
+        projection_dim=cfg.embed_dim)
+
+
+def build_hf_clip(cfg: CLIPConfig, sd: Dict[str, np.ndarray]):
+    """Instantiate a real HF ``CLIPModel`` (eval mode, CPU) holding ``sd``.
+    torch/transformers imported lazily — call only where they exist."""
+    import torch
+    import transformers
+
+    model = transformers.CLIPModel(
+        transformers.CLIPConfig(**hf_clip_config_kwargs(cfg)))
+    model.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+        strict=True)
+    model.eval()
+    return model
 
 
 def probe_inputs(seed: int = 0, batch: int = 8, n_prompts: int = 16,

@@ -85,6 +85,10 @@ def _is_stale() -> bool:
 
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _failed
+    # escape hatch for bit-exact-vs-PIL runs (cross-implementation parity
+    # goldens): the native resize is PIL-parity only to ±2 LSB
+    if os.environ.get("MCM_TPU_DISABLE_NATIVE"):
+        return None
     with _lock:
         if _lib is not None or _failed:
             return _lib

@@ -150,3 +150,36 @@ def make_flowers_tree(root: str, n_classes: int = 4, per_class: int = 3,
                 {"trnid": trn.reshape(1, -1), "valid": val.reshape(1, -1),
                  "tstid": tst.reshape(1, -1)})
     return root
+
+
+def make_clip_vocab(out_dir: str, vocab_size: int = 49408) -> str:
+    """A full-size, structurally-real CLIP BPE vocab (HF ``vocab.json`` +
+    ``merges.txt``): the complete byte alphabet, ``</w>`` variants, a
+    handful of real merges, filler entries up to ``vocab_size - 2``, and
+    ``<|startoftext|>``/``<|endoftext|>`` as the two largest ids (OpenAI
+    convention).  Lets both HF ``CLIPTokenizer.from_pretrained`` and our
+    tokenizer run offline against a 49408-entry id space that matches the
+    production text-tower embedding."""
+    from mcm_tpu.text.tokenizer import BOS_TOKEN, EOS_TOKEN, bytes_to_unicode
+
+    os.makedirs(out_dir, exist_ok=True)
+    alphabet = list(bytes_to_unicode().values())
+    tokens = alphabet + [c + "</w>" for c in alphabet]
+    merges = [
+        ("c", "a"), ("ca", "t</w>"), ("p", "h"), ("ph", "o"),
+        ("pho", "t"), ("phot", "o</w>"), ("o", "f</w>"), ("a", "t</w>"),
+        ("t", "h"), ("th", "e</w>"), ("i", "n"), ("e", "r"),
+    ]
+    tokens += ["".join(m) for m in merges]
+    # unreachable filler (BPE can only emit byte-derived tokens) pads the id
+    # space to the production embedding size
+    tokens += [f"<fill{i}>" for i in range(vocab_size - 2 - len(tokens))]
+    tokens += [BOS_TOKEN, EOS_TOKEN]
+    assert len(tokens) == vocab_size
+    vocab = {t: i for i, t in enumerate(tokens)}
+    with open(os.path.join(out_dir, "vocab.json"), "w", encoding="utf-8") as f:
+        json.dump(vocab, f)
+    with open(os.path.join(out_dir, "merges.txt"), "w", encoding="utf-8") as f:
+        f.write("#version: 0.2\n" +
+                "\n".join(" ".join(m) for m in merges) + "\n")
+    return out_dir

@@ -66,38 +66,15 @@ def record_synth(args):
     tests/test_golden_parity.py then pin converter/architecture parity in CI
     with no torch dependency (VERDICT r1 item 4)."""
     import torch
-    import transformers
 
-    from mcm_tpu.models.hf_synth import golden_config, synth_hf_clip_state_dict
+    from mcm_tpu.models.hf_synth import (build_hf_clip, golden_config,
+                                         synth_hf_clip_state_dict,
+                                         synth_scale_config)
 
-    cfg = golden_config()
+    cfg = (golden_config() if args.config == "golden"
+           else synth_scale_config(args.config))
     sd = synth_hf_clip_state_dict(cfg, seed=args.seed)
-    hf_cfg = transformers.CLIPConfig(
-        vision_config=dict(
-            image_size=cfg.vision.image_size,
-            patch_size=cfg.vision.patch_size,
-            hidden_size=cfg.vision.width,
-            num_hidden_layers=cfg.vision.layers,
-            num_attention_heads=cfg.vision.heads,
-            intermediate_size=cfg.vision.width * cfg.vision.mlp_ratio,
-            hidden_act="quick_gelu"),
-        text_config=dict(
-            vocab_size=cfg.text.vocab_size,
-            max_position_embeddings=cfg.text.context_length,
-            hidden_size=cfg.text.width,
-            num_hidden_layers=cfg.text.layers,
-            num_attention_heads=cfg.text.heads,
-            intermediate_size=cfg.text.width * cfg.text.mlp_ratio,
-            hidden_act="quick_gelu",
-            # EOT = largest id (OpenAI convention); HF pools the FIRST
-            # occurrence, our argmax pooling likewise — keep them aligned
-            eos_token_id=cfg.text.vocab_size - 1),
-        projection_dim=cfg.embed_dim)
-    model = transformers.CLIPModel(hf_cfg)
-    model.load_state_dict(
-        {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
-        strict=True)
-    model.eval()
+    model = build_hf_clip(cfg, sd)
 
     pixels, ids, mask = golden_probe_inputs(cfg)
     with torch.no_grad():
@@ -111,19 +88,30 @@ def record_synth(args):
         txt = model.get_text_features(
             input_ids=torch.from_numpy(ids),
             attention_mask=torch.from_numpy(mask)).numpy()
-    vh = np.stack([h.numpy()[:, :GOLDEN_SLICE] for h in vout.hidden_states])
-    th = np.stack([h.numpy()[:, :GOLDEN_SLICE] for h in tout.hidden_states])
+    # a strided subset of hidden layers (always incl. embeddings + final)
+    # keeps the committed file a few MB even at L/14 dimensions
+    v_idx = sorted(set(range(0, cfg.vision.layers + 1, args.layer_stride))
+                   | {cfg.vision.layers})
+    t_idx = sorted(set(range(0, cfg.text.layers + 1, args.layer_stride))
+                   | {cfg.text.layers})
+    vh = np.stack([vout.hidden_states[i].numpy()[:, :GOLDEN_SLICE]
+                   for i in v_idx])
+    th = np.stack([tout.hidden_states[i].numpy()[:, :GOLDEN_SLICE]
+                   for i in t_idx])
     imgn = img / np.linalg.norm(img, axis=-1, keepdims=True)
     txtn = txt / np.linalg.norm(txt, axis=-1, keepdims=True)
     logits = imgn @ txtn.T
     e = np.exp(logits - logits.max(1, keepdims=True))
     mcm = -(e / e.sum(1, keepdims=True)).max(1)
     np.savez_compressed(
-        args.out, vision_hiddens=vh, text_hiddens=th, image_features=img,
-        text_features=txt, mcm=mcm, seed=args.seed, slice=GOLDEN_SLICE,
+        args.out, vision_hiddens=vh, text_hiddens=th,
+        vision_layer_idx=np.asarray(v_idx), text_layer_idx=np.asarray(t_idx),
+        image_features=img, text_features=txt, mcm=mcm, seed=args.seed,
+        config=args.config, slice=GOLDEN_SLICE,
         transformers_version=str(__import__("transformers").__version__))
-    print(f"recorded synth goldens (seed {args.seed}) -> {args.out}: "
-          f"vision_hiddens {vh.shape}, text_hiddens {th.shape}")
+    print(f"recorded synth goldens (config {args.config}, seed {args.seed})"
+          f" -> {args.out}: vision_hiddens {vh.shape} @layers {v_idx}, "
+          f"text_hiddens {th.shape} @layers {t_idx}")
 
 
 def check(args):
@@ -193,8 +181,17 @@ def main():
     pc.add_argument("--precision", default="parity")
     ps = sub.add_parser("record-synth")
     ps.add_argument("--seed", default=0, type=int)
-    ps.add_argument("--out", default="tests/goldens/clip_synth_6l384.npz")
+    ps.add_argument("--config", default="golden",
+                    choices=["golden", "b16", "l14"])
+    ps.add_argument("--layer-stride", default=1, type=int,
+                    help="record every Nth hidden layer (embeddings and "
+                         "final always included)")
+    ps.add_argument("--out", default=None)
     args = p.parse_args()
+    if args.mode == "record-synth" and args.out is None:
+        args.out = {"golden": "tests/goldens/clip_synth_6l384.npz",
+                    "b16": "tests/goldens/clip_synth_b16.npz",
+                    "l14": "tests/goldens/clip_synth_l14.npz"}[args.config]
     {"record": record, "check": check,
      "record-synth": record_synth}[args.mode](args)
 
