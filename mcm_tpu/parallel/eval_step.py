@@ -78,6 +78,7 @@ class EvalStep(_Placement):
         self.T = float(T)
         self.noise_magnitude = float(noise_magnitude)
         self.mesh = mesh if mesh is not None else meshlib.make_mesh(1)
+        meshlib.validate_tp(cfg, self.mesh)
         # Pallas kernels are opaque to the SPMD partitioner.  Pure-DP meshes
         # run the per-device program under shard_map (kernels apply on each
         # device's batch shard — no cross-device communication in eval).

@@ -47,6 +47,33 @@ def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1,
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
+def validate_tp(cfg, mesh: Mesh) -> None:
+    """Fail fast when the model axis cannot evenly split the towers.
+
+    The TP specs shard attention outputs by head and the MLP hidden dim
+    (:func:`_layer_specs`); a non-dividing ``model_parallel`` would make the
+    SPMD partitioner fall back to halo/gather programs (slow, memory-heavy)
+    or miscompile shapes — e.g. L/14's text tower has 12 heads, so tp=8
+    is invalid even though its vision tower (16 heads) divides."""
+    tp = mesh.shape[MODEL_AXIS]
+    if tp == 1:
+        return
+    for tower_name in ("vision", "text"):
+        tower = getattr(cfg, tower_name, None)
+        if tower is None:
+            continue
+        hidden = tower.width * tower.mlp_ratio
+        for dim_name, value in (("heads", tower.heads),
+                                ("width", tower.width),
+                                ("mlp hidden dim", hidden)):
+            if value % tp:
+                raise ValueError(
+                    f"model_parallel={tp} does not divide the {tower_name} "
+                    f"tower's {dim_name} ({value}) for config "
+                    f"{getattr(cfg, 'name', cfg)}; choose a tp that divides "
+                    f"every sharded dim")
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) dim over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))

@@ -320,9 +320,24 @@ def _maha_templates(cfg: RunConfig, step: EvalStep, params, log,
            f"{cfg.normalize}" + ("_subset" if cfg.subset else ""))
     path = os.path.join(cfg.template_dir, f"templates_{tag}.npz")
     if not cfg.generate and not os.path.exists(path):
-        raise FileNotFoundError(
-            f"--generate was disabled but no cached Mahalanobis templates "
-            f"exist at {path}; run once with --generate first")
+        # migrating users: accept the reference's torch .pt template pair
+        # (detection_util.py:175-176) and re-cache it natively
+        from mcm_tpu.scores.mahalanobis import (load_pt_templates,
+                                                reference_template_paths)
+        mu_pt, prec_pt = reference_template_paths(
+            cfg.template_dir, cfg.model, cfg.in_dataset, cfg.max_count,
+            cfg.normalize)
+        if os.path.exists(mu_pt) and os.path.exists(prec_pt):
+            mu, prec = load_pt_templates(mu_pt, prec_pt)
+            log.debug(f"loaded reference-format .pt templates from "
+                      f"{mu_pt} / {prec_pt}")
+            np.savez(path, classwise_mean=mu, precision=prec,
+                     normalize=cfg.normalize)
+        else:
+            raise FileNotFoundError(
+                f"--generate was disabled but no cached Mahalanobis "
+                f"templates exist at {path} (nor a reference-format pair at "
+                f"{mu_pt}); run once with --generate first")
     if cfg.generate or not os.path.exists(path):
         train_ds = set_train_loader(cfg.in_dataset, cfg.root_dir,
                                     subset=cfg.subset,

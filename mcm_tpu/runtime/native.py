@@ -3,7 +3,17 @@
 The shared object is compiled on first use (g++ -O3 -march=native against
 libjpeg) and cached next to the source; environments without a toolchain or
 libjpeg fall back to the PIL pipeline transparently
-(:func:`native_available` gates the fast path)."""
+(:func:`native_available` gates the fast path).
+
+Distribution note: a prebuilt ``_libmcmdecoder.so`` is only trusted when
+its sibling ``.host`` tag matches this machine's CPU (``-march=native``
+code SIGILLs elsewhere) — ship BOTH files, or ship ``decoder.cpp`` and let
+the target rebuild; a bare ``.so`` without tag or source is treated as
+stale and the loader degrades to PIL with a warning.
+
+``MCM_TPU_DISABLE_NATIVE=1`` forces the PIL path (used by the
+cross-implementation parity goldens: the native resize matches PIL only to
+±2 LSB)."""
 
 from __future__ import annotations
 

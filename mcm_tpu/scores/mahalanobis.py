@@ -64,6 +64,37 @@ def estimate_mean_precision(features: np.ndarray, labels: np.ndarray,
     return classwise_mean.astype(np.float32), precision.astype(np.float32)
 
 
+def reference_template_paths(template_dir: str, model: str, in_dataset: str,
+                             max_count: int, normalize: bool
+                             ) -> Tuple[str, str]:
+    """The exact paths the reference persists Mahalanobis templates to
+    (``detection_util.py:175-176``): ``{model}_classwise_mean_...pt`` and
+    ``{model}_precision_...pt``, with the bool rendered via f-string."""
+    import os
+
+    tag = f"{model}_%s_{in_dataset}_{max_count}_{normalize}.pt"
+    return (os.path.join(template_dir, tag % "classwise_mean"),
+            os.path.join(template_dir, tag % "precision"))
+
+
+def load_pt_templates(mean_path: str,
+                      precision_path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Load a reference-format torch ``.pt`` template pair → fp32 numpy, so
+    a migrating user's existing caches work without regeneration (torch is
+    an optional dependency, imported only here)."""
+    try:
+        import torch
+    except ImportError as e:  # pragma: no cover - torch is in the test env
+        raise ImportError(
+            "reading reference-format .pt Mahalanobis templates requires "
+            "torch; regenerate native templates with --generate instead"
+        ) from e
+    mu = torch.load(mean_path, map_location="cpu")
+    prec = torch.load(precision_path, map_location="cpu")
+    return (np.asarray(mu.detach().float().numpy(), dtype=np.float32),
+            np.asarray(prec.detach().float().numpy(), dtype=np.float32))
+
+
 @functools.partial(jax.jit, static_argnames=("normalize",))
 def mahalanobis_score(features: jax.Array, classwise_mean: jax.Array,
                       precision: jax.Array,

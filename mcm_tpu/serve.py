@@ -21,6 +21,7 @@ TPU-native details:
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 import time
@@ -90,9 +91,29 @@ class OODDetector:
         Whether the templates were estimated over L2-normalized features
         (the evaluator's ``--normalize``) is read from the npz itself;
         scoring with the wrong flag is silent corruption, so a mismatching
-        explicit ``normalize=`` raises."""
-        data = np.load(path)
-        stored = bool(data["normalize"]) if "normalize" in data else None
+        explicit ``normalize=`` raises.
+
+        Also accepts the reference's torch template format
+        (``detection_util.py:175-176``): pass the
+        ``*_classwise_mean_*.pt`` path and the sibling ``*_precision_*.pt``
+        is derived from it; the normalize flag is parsed from the
+        reference's ``_{True|False}.pt`` filename suffix."""
+        if path.endswith(".pt"):
+            from mcm_tpu.scores.mahalanobis import load_pt_templates
+            if "classwise_mean" not in os.path.basename(path):
+                raise ValueError(
+                    f"expected the reference's *_classwise_mean_*.pt "
+                    f"template path, got {path}")
+            mu, prec = load_pt_templates(
+                path, path.replace("classwise_mean", "precision"))
+            stem = os.path.basename(path)[:-len(".pt")]
+            stored = (True if stem.endswith("_True") else
+                      False if stem.endswith("_False") else None)
+            data = {"classwise_mean": mu, "precision": prec}
+        else:
+            data = np.load(path)
+            stored = (bool(data["normalize"]) if "normalize" in data
+                      else None)
         if normalize is None:
             if stored is None:
                 raise ValueError(
@@ -307,11 +328,27 @@ class MicroBatcher:
             self._outstanding -= 1
 
     def score(self, images_u8: np.ndarray) -> np.ndarray:
-        """Blocking convenience: submit each image, gather scores."""
+        """Blocking convenience: submit each image, gather scores.
+
+        All-or-nothing under backpressure: if ``max_pending`` headroom runs
+        out partway through the batch, the already-submitted prefix is
+        awaited (its slots were consumed; the dispatcher scores them
+        regardless) before ``Overloaded`` is re-raised — otherwise those
+        futures would be silently dropped still-pending."""
         images_u8 = np.asarray(images_u8)
         if images_u8.ndim == 3:
             images_u8 = images_u8[None]
-        futures = [self.submit(img) for img in images_u8]
+        futures = []
+        try:
+            for img in images_u8:
+                futures.append(self.submit(img))
+        except Overloaded:
+            for f in futures:
+                try:
+                    f.result()
+                except Exception:
+                    pass
+            raise
         return np.array([f.result() for f in futures], np.float32)
 
     def close(self) -> None:

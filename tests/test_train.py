@@ -1,35 +1,9 @@
-"""Sharded-train tests, subprocess-isolated.
+"""Sharded-train tests, subprocess-isolated (see tests/isolation.py: the
+assertions live unchanged in ``train_suite.py``; every observed jax-CPU
+SIGABRT landed in this module's region before isolation)."""
 
-The actual assertions live unchanged in ``tests/train_suite.py`` (not
-collected directly — this wrapper runs them).  Why: jax 0.9's CPU
-runtime intermittently SIGABRTs in the device-to-host of a sharded
-array once a process has compiled many mesh/sharding variants, and
-every observed crash landed in this module's region (CLAUDE.md).  The
-subprocess keeps one jaxlib abort from killing the whole suite; the
-KNOWN abort (SIGABRT) is retried up to twice, while genuine test
-failures surface immediately with no retry.
-"""
-
-import os
-import subprocess
-import sys
-
-HERE = os.path.dirname(os.path.abspath(__file__))
-SIGABRT_CODES = (-6, 134)  # signal form and shell-style 128+6
+from isolation import run_module_isolated
 
 
 def test_train_module_isolated():
-    cmd = [sys.executable, "-m", "pytest",
-           os.path.join(HERE, "train_suite.py"), "-q",
-           "-p", "no:cacheprovider"]
-    proc = None
-    for _ in range(3):
-        proc = subprocess.run(cmd, capture_output=True, text=True,
-                              cwd=os.path.dirname(HERE), timeout=1200)
-        if proc.returncode == 0:
-            return
-        if proc.returncode not in SIGABRT_CODES:
-            break  # real failure: report it, don't retry
-    raise AssertionError(
-        f"train module failed (rc={proc.returncode}):\n"
-        f"{proc.stdout[-3000:]}\n{proc.stderr[-2000:]}")
+    run_module_isolated("train_suite.py")

@@ -165,6 +165,234 @@ def check(args):
     sys.exit(0 if ok else 1)
 
 
+FUZZ_TEXTS = 200
+
+
+def _tokenizer_report(hf_dir, ckpt_dir, lines):
+    import transformers
+
+    from mcm_tpu.text.tokenizer import CLIPTokenizer as OurTok
+
+    hf = transformers.CLIPTokenizer.from_pretrained(hf_dir)
+    ours = OurTok.resolve(ckpt_dir)
+    if ours is None:
+        lines.append("## Tokenizer\n\nFAIL: no vocab.json/merges.txt "
+                     "resolvable from the checkpoint dir\n")
+        return False
+    import random
+    rnd = random.Random(0)
+    battery = ["a photo of a cat", "a photo of a Great White Shark.",
+               "it's   the cat's photo, isn't it?", "café naïve — ok",
+               "CAT!! 12 photos"]
+    alphabet = ("abcdefghijklmnopqrstuvwxyz  .,!?'-0123456789"
+                "ABCDEFGHIJé中文")
+    battery += ["".join(rnd.choice(alphabet)
+                        for _ in range(rnd.randrange(1, 40)))
+                for _ in range(FUZZ_TEXTS)]
+    bad = 0
+    for t in battery:
+        ref = hf([t], padding=True)
+        got_ids, got_mask = ours([t], pad_to_multiple=1)
+        if (list(got_ids[0]) != ref["input_ids"][0]
+                or list(got_mask[0]) != ref["attention_mask"][0]):
+            bad += 1
+    ok = bad == 0
+    lines.append(f"## Tokenizer\n\n{len(battery)} cases (fixed battery + "
+                 f"{FUZZ_TEXTS} fuzz strings) vs HF `CLIPTokenizer`: "
+                 f"**{bad} mismatches** — {'PASS' if ok else 'FAIL'}\n")
+    return ok
+
+
+def _tree_paths(tree, max_images):
+    paths = []
+    for cls in sorted(e.name for e in os.scandir(tree) if e.is_dir()):
+        d = os.path.join(tree, cls)
+        for r, _, fnames in sorted(os.walk(d)):
+            paths.extend(os.path.join(r, f) for f in sorted(fnames))
+    return paths[:max_images], sorted(
+        e.name for e in os.scandir(tree) if e.is_dir())
+
+
+def _score_tree_both(tree, model, params, cfg, tokenizer, max_images):
+    """(hf_scores, our_scores) — MCM over the tree's own class prompts,
+    decoded once with the PIL-exact host path and fed to BOTH models."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from mcm_tpu.config import Precision
+    from mcm_tpu.data.transforms import (CLIP_MEAN, CLIP_STD,
+                                         load_image_uint8)
+    from mcm_tpu.models import clip as jclip
+    from mcm_tpu.scores import compute_scores, l2_normalize
+
+    paths, classes = _tree_paths(tree, max_images)
+    imgs = np.stack([load_image_uint8(p) for p in paths])   # [N,H,W,3] u8
+    prompts = [f"a photo of a {c}" for c in classes]
+
+    mean = np.asarray(CLIP_MEAN, np.float32).reshape(1, 3, 1, 1)
+    std = np.asarray(CLIP_STD, np.float32).reshape(1, 3, 1, 1)
+    pix = (imgs.transpose(0, 3, 1, 2).astype(np.float32) / 255.0
+           - mean) / std
+    import transformers
+    hf_tok = transformers.CLIPTokenizer.from_pretrained(
+        model.name_or_path) if False else None
+    with torch.no_grad():
+        img_f = model.get_image_features(
+            pixel_values=torch.from_numpy(pix)).float().numpy()
+        enc = _hf_tokenize(model, prompts)
+        txt_f = model.get_text_features(**enc).float().numpy()
+    img_n = img_f / np.linalg.norm(img_f, axis=-1, keepdims=True)
+    txt_n = txt_f / np.linalg.norm(txt_f, axis=-1, keepdims=True)
+    logits = img_n @ txt_n.T
+    e = np.exp(logits - logits.max(1, keepdims=True))
+    hf_scores = -(e / e.sum(1, keepdims=True)).max(1)
+
+    prec = Precision.parity()
+    from mcm_tpu.data.transforms import normalize_on_device
+    x = normalize_on_device(jnp.asarray(imgs), dtype=jnp.float32)
+    our_img = jclip.encode_image(params, cfg.vision, x, prec)
+    ids, mask = tokenizer(prompts, pad_to_multiple=8,
+                          context_length=cfg.text.context_length)
+    our_txt = jclip.encode_text(params, cfg.text,
+                                jnp.asarray(ids, jnp.int32),
+                                jnp.asarray(mask, jnp.int32), prec)
+    our_scores = np.asarray(compute_scores(
+        our_img, np.asarray(l2_normalize(our_txt)), score="MCM"))
+    return hf_scores.astype(np.float32), our_scores.astype(np.float32)
+
+
+def _hf_tokenize(model, prompts):
+    """Tokenize with the HF tokenizer living next to the model weights."""
+    import torch
+    import transformers
+
+    tok = transformers.CLIPTokenizer.from_pretrained(model._parity_hf_dir)
+    enc = tok(prompts, padding=True, return_tensors="pt")
+    return {"input_ids": enc["input_ids"],
+            "attention_mask": enc["attention_mask"]}
+
+
+def full_report(args):
+    """One-command real-weights parity rehearsal (VERDICT r2 item 4):
+    given a checkpoint dir holding an HF snapshot, produce
+    PARITY_REPORT.md covering tokenizer ids, per-layer activations, score
+    parity, and (optionally) metric deltas through both pipelines on
+    real image trees."""
+    import torch
+    import transformers
+
+    import jax.numpy as jnp
+
+    from mcm_tpu.config import CLIP_CONFIGS, HF_CKPT_MAPPING, Precision
+    from mcm_tpu.models import clip as jclip
+    from mcm_tpu.models.convert import resolve_clip_params
+    from mcm_tpu.text.tokenizer import CLIPTokenizer as OurTok
+
+    cfg = CLIP_CONFIGS[args.ckpt]()
+    hf_dir = args.hf_dir or os.path.join(
+        args.ckpt_dir, HF_CKPT_MAPPING[args.ckpt].split("/")[-1])
+    if not os.path.isdir(hf_dir):
+        sys.exit(f"no HF snapshot at {hf_dir} (pass --hf-dir)")
+
+    lines = [f"# Parity report — {args.ckpt}", "",
+             f"HF snapshot: `{hf_dir}`  ·  transformers "
+             f"{transformers.__version__}", ""]
+    ok = True
+
+    model = transformers.CLIPModel.from_pretrained(hf_dir)
+    model.eval()
+    model._parity_hf_dir = hf_dir
+
+    params = resolve_clip_params(args.ckpt, args.ckpt_dir)
+    if params is None:
+        sys.exit(f"our converter found no weights under {args.ckpt_dir}")
+    tokenizer = OurTok.resolve(args.ckpt_dir)
+
+    ok &= _tokenizer_report(hf_dir, args.ckpt_dir, lines)
+
+    # per-layer activations on deterministic probe inputs
+    pixels, ids, mask = probe_inputs(batch=4, n_prompts=8,
+                                     vocab_size=cfg.text.vocab_size)
+    with torch.no_grad():
+        vout = model.vision_model(pixel_values=torch.from_numpy(pixels),
+                                  output_hidden_states=True)
+        tout = model.text_model(input_ids=torch.from_numpy(ids),
+                                attention_mask=torch.from_numpy(mask),
+                                output_hidden_states=True)
+        img = model.get_image_features(
+            pixel_values=torch.from_numpy(pixels)).numpy()
+        txt = model.get_text_features(
+            input_ids=torch.from_numpy(ids),
+            attention_mask=torch.from_numpy(mask)).numpy()
+    prec = Precision.parity()
+    our_img, vh = jclip.encode_image(params, cfg.vision,
+                                     jnp.asarray(pixels), prec,
+                                     collect_hidden=True)
+    our_txt, th = jclip.encode_text(params, cfg.text,
+                                    jnp.asarray(ids, jnp.int32),
+                                    jnp.asarray(mask, jnp.int32), prec,
+                                    collect_hidden=True)
+
+    def rel(a, b):
+        return float(np.abs(np.asarray(a, np.float32) - b).max()
+                     / (np.abs(b).max() + 1e-12))
+
+    lines.append("## Per-layer activations (probe inputs, parity "
+                 "precision)\n")
+    lines.append("| layer | vision max-rel | text max-rel |")
+    lines.append("|---|---|---|")
+    layer_ok = True
+    for i in range(max(len(vout.hidden_states), len(tout.hidden_states))):
+        v = (rel(np.asarray(vh)[i], vout.hidden_states[i].numpy())
+             if i < len(vout.hidden_states) else None)
+        t = (rel(np.asarray(th)[i], tout.hidden_states[i].numpy())
+             if i < len(tout.hidden_states) else None)
+        layer_ok &= all(x is None or x < 1e-3 for x in (v, t))
+        lines.append(f"| {i} | {v if v is None else f'{v:.2e}'} "
+                     f"| {t if t is None else f'{t:.2e}'} |")
+    fi, ft = rel(our_img, img), rel(our_txt, txt)
+    layer_ok &= fi < 1e-3 and ft < 1e-3
+    lines.append(f"\nfinal features: image {fi:.2e}, text {ft:.2e} — "
+                 f"{'PASS' if layer_ok else 'FAIL'} (tol 1e-3)\n")
+    ok &= layer_ok
+
+    # optional: per-image scores + metrics through both pipelines
+    if args.id_tree:
+        hf_id, our_id = _score_tree_both(args.id_tree, model, params, cfg,
+                                         tokenizer, args.max_images)
+        d_id = float(np.abs(hf_id - our_id).max())
+        score_ok = d_id < 5e-5
+        lines.append(f"## Score parity — ID tree `{args.id_tree}`\n\n"
+                     f"{len(hf_id)} images: max per-image MCM delta "
+                     f"{d_id:.2e} — {'PASS' if score_ok else 'FAIL'} "
+                     f"(tol 5e-5)\n")
+        ok &= score_ok
+        if args.ood_tree:
+            from mcm_tpu.metrics import get_measures
+            hf_ood, our_ood = _score_tree_both(args.ood_tree, model,
+                                               params, cfg, tokenizer,
+                                               args.max_images)
+            d_ood = float(np.abs(hf_ood - our_ood).max())
+            m_hf = get_measures(-hf_id, -hf_ood)
+            m_us = get_measures(-our_id, -our_ood)
+            d_auroc = abs(m_hf[0] - m_us[0]) * 100
+            metric_ok = d_ood < 5e-5 and d_auroc < 0.1
+            lines.append(
+                f"## Metrics — OOD tree `{args.ood_tree}`\n\n"
+                f"{len(hf_ood)} images: max OOD score delta {d_ood:.2e}; "
+                f"AUROC {100 * m_hf[0]:.3f} (HF-side) vs "
+                f"{100 * m_us[0]:.3f} (ours), |Δ| = {d_auroc:.4f} pp — "
+                f"{'PASS' if metric_ok else 'FAIL'} (north star ≤0.1 pp)\n")
+            ok &= metric_ok
+
+    lines.append(f"\n**OVERALL: {'PASS' if ok else 'FAIL'}**\n")
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {args.out}: {'PASS' if ok else 'FAIL'}")
+    sys.exit(0 if ok else 1)
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="mode", required=True)
