@@ -234,9 +234,6 @@ def _score_tree_both(tree, model, params, cfg, tokenizer, max_images):
     std = np.asarray(CLIP_STD, np.float32).reshape(1, 3, 1, 1)
     pix = (imgs.transpose(0, 3, 1, 2).astype(np.float32) / 255.0
            - mean) / std
-    import transformers
-    hf_tok = transformers.CLIPTokenizer.from_pretrained(
-        model.name_or_path) if False else None
     with torch.no_grad():
         img_f = model.get_image_features(
             pixel_values=torch.from_numpy(pix)).float().numpy()
@@ -415,13 +412,31 @@ def main():
                     help="record every Nth hidden layer (embeddings and "
                          "final always included)")
     ps.add_argument("--out", default=None)
+    pf = sub.add_parser(
+        "full-report",
+        help="one-command real-weights parity rehearsal → PARITY_REPORT.md")
+    pf.add_argument("--ckpt", default="ViT-B/16",
+                    choices=["ViT-B/32", "ViT-B/16", "ViT-L/14"])
+    pf.add_argument("--ckpt-dir", default="checkpoints",
+                    help="dir holding the HF snapshot "
+                         "(<ckpt-dir>/clip-vit-*-patch*/) or converted npz "
+                         "+ vocab files")
+    pf.add_argument("--hf-dir", default=None,
+                    help="explicit HF snapshot dir (default: derived from "
+                         "--ckpt-dir)")
+    pf.add_argument("--id-tree", default=None,
+                    help="ImageFolder tree for per-image score parity")
+    pf.add_argument("--ood-tree", default=None,
+                    help="second tree: AUROC through both pipelines")
+    pf.add_argument("--max-images", default=64, type=int)
+    pf.add_argument("--out", default="PARITY_REPORT.md")
     args = p.parse_args()
     if args.mode == "record-synth" and args.out is None:
         args.out = {"golden": "tests/goldens/clip_synth_6l384.npz",
                     "b16": "tests/goldens/clip_synth_b16.npz",
                     "l14": "tests/goldens/clip_synth_l14.npz"}[args.config]
-    {"record": record, "check": check,
-     "record-synth": record_synth}[args.mode](args)
+    {"record": record, "check": check, "record-synth": record_synth,
+     "full-report": full_report}[args.mode](args)
 
 
 if __name__ == "__main__":
