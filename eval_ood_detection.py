@@ -119,6 +119,7 @@ def main():
         model=args.model,
         clip_ckpt=args.CLIP_ckpt,
         score=args.score,
+        feat_dim=args.feat_dim,
         normalize=bool(args.normalize),
         generate=bool(args.generate),
         template_dir=args.template_dir,

@@ -79,6 +79,22 @@ def clip_vit_b32() -> CLIPConfig:
 
 
 def clip_vit_b16() -> CLIPConfig:
+    import os
+    if os.environ.get("MCM_TPU_TEST_TINY_B16"):
+        # test double for CLI-subprocess orchestration tests (suite wall
+        # time; docs/TESTING.md): structurally identical — 224²/16 patches
+        # (197-token sequences), full vocab, pre-LN, EOT pooling — but
+        # 2 layers/128 wide so a 1-core CPU forward is instant.  NEVER set
+        # outside tests: scores are architecture-meaningless.
+        import warnings
+        warnings.warn("MCM_TPU_TEST_TINY_B16 active: ViT-B/16 resolves to "
+                      "a 2-layer/128-wide test double")
+        return CLIPConfig(
+            name="ViT-B/16",
+            vision=VisionConfig(patch_size=16, width=128, layers=2, heads=4,
+                                projection_dim=64),
+            text=TextConfig(width=128, layers=2, heads=4, projection_dim=64),
+        )
     return CLIPConfig(
         name="ViT-B/16",
         vision=VisionConfig(patch_size=16, width=768, layers=12, heads=12,

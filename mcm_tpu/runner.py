@@ -173,6 +173,18 @@ def build_model_and_step(cfg: RunConfig, log=None):
     clip_cfg = CLIP_CONFIGS[cfg.clip_ckpt]()
     precision = resolve_precision(cfg.precision)
 
+    from mcm_tpu.config import CLIP_FEAT_DIMS
+    derived_dim = CLIP_FEAT_DIMS.get(cfg.clip_ckpt)
+    if (cfg.feat_dim is not None and derived_dim is not None
+            and cfg.feat_dim != derived_dim):
+        # the reference requires the right --feat_dim by hand (its default
+        # 512 crashes on ViT-L); here the dim is derived from the
+        # checkpoint, but a contradicting value must not pass silently
+        warnings.warn(
+            f"--feat_dim {cfg.feat_dim} contradicts {cfg.clip_ckpt}'s "
+            f"feature dim {derived_dim}; the dim is derived from the "
+            f"checkpoint and the flag value is ignored")
+
     if cfg.model == "CLIP-Linear":
         if not cfg.finetune_ckpt:
             raise ValueError("--model CLIP-Linear requires --finetune_ckpt")

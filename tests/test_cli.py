@@ -21,8 +21,15 @@ def _make_datasets(tmp_path):
     return str(root)
 
 
-def _run_cli(args, cwd):
+def _run_cli(args, cwd, full_size=False):
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    if not full_size:
+        # orchestration tests (results layout, resume, determinism) don't
+        # need 12-layer forwards on one CPU core — the tiny structurally-
+        # identical B/16 double keeps them fast (docs/TESTING.md); model
+        # math at full size is pinned by test_golden_parity +
+        # test_crossimpl_e2e, and one full-size CLI e2e test remains
+        env["MCM_TPU_TEST_TINY_B16"] = "1"
     return subprocess.run(
         [sys.executable, os.path.join(REPO, "eval_ood_detection.py")] + args,
         cwd=cwd, env=env, capture_output=True, text=True, timeout=600)
@@ -42,7 +49,7 @@ def test_cli_end_to_end(workdir):
         "--score", "MCM", "--name", "smoke", "-b", "8",
         "--out_datasets", "dtd", "--allow_random_weights",
         "--num_workers", "2",
-    ], cwd=str(tmp))
+    ], cwd=str(tmp), full_size=True)
     assert proc.returncode == 0, proc.stderr[-3000:]
 
     log_dir = (tmp / "results" / "pet37" / "MCM" /
