@@ -187,7 +187,11 @@ def resolve_precision(name: str) -> Precision:
 @dataclasses.dataclass(frozen=True)
 class SupervisedViTConfig:
     """Supervised ViT classifier (MSP baseline; reference README's
-    google/vit-base-patch16-224 comparison path, ``detection_util.py:124-126``)."""
+    google/vit-base-patch16-224 comparison path, ``detection_util.py:124-126``).
+
+    Construct via :func:`supervised_vit_config` on CLI paths — it applies
+    the ``MCM_TPU_TEST_TINY_VIT=1`` test-double override (CLI-subprocess
+    orchestration tests only; see docs/TESTING.md)."""
 
     image_size: int = 224
     patch_size: int = 16
@@ -205,3 +209,14 @@ class SupervisedViTConfig:
     @property
     def head_dim(self) -> int:
         return self.width // self.heads
+
+
+def supervised_vit_config() -> SupervisedViTConfig:
+    """The CLI's ViT-base config, honoring the test-double override."""
+    import os
+    if os.environ.get("MCM_TPU_TEST_TINY_VIT"):
+        import warnings
+        warnings.warn("MCM_TPU_TEST_TINY_VIT active: the supervised ViT "
+                      "resolves to a 2-layer/128-wide test double")
+        return SupervisedViTConfig(width=128, layers=2, heads=4)
+    return SupervisedViTConfig()

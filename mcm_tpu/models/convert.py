@@ -81,8 +81,11 @@ def load_state_dict(path: str) -> Dict[str, np.ndarray]:
 def _stack(sd: Dict[str, np.ndarray], tmpl: str, n: int,
            transpose: bool) -> np.ndarray:
     mats = [sd[tmpl.format(i)] for i in range(n)]
-    if transpose:
-        mats = [m.T for m in mats]  # torch Linear stores (out, in)
+    if transpose:  # torch Linear stores (out, in)
+        # contiguous stack first, one batched transpose-copy after —
+        # measurably faster than stacking n transposed views
+        return np.ascontiguousarray(
+            np.stack(mats).transpose(0, 2, 1)).astype(np.float32)
     return np.stack(mats).astype(np.float32)
 
 

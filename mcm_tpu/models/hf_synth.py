@@ -95,7 +95,16 @@ def hf_clip_key_shapes(cfg: CLIPConfig) -> Dict[str, Tuple[int, ...]]:
 
 
 def _value_for(key: str, shape: Tuple[int, ...], seed: int) -> np.ndarray:
-    rng = np.random.default_rng([seed, zlib.crc32(key.encode())])
+    # SFC64 + native-float32 normals: ~20× faster than the PCG64
+    # float64→float32 path on this 1-core host — the full-size L/14 dict is
+    # ~430M values and regenerates in every golden-parity CI run.  Values
+    # are still a pure deterministic function of (key, seed).
+    rng = np.random.Generator(
+        np.random.SFC64([seed, zlib.crc32(key.encode())]))
+
+    def normal(scale: float) -> np.ndarray:
+        return scale * rng.standard_normal(shape, dtype=np.float32)
+
     if key == "logit_scale":
         return np.float32(np.log(1.0 / 0.07))
     leaf = key.rsplit(".", 1)[-1]
@@ -103,18 +112,25 @@ def _value_for(key: str, shape: Tuple[int, ...], seed: int) -> np.ndarray:
                  or "layrnorm" in key)
     if norm_like:
         if leaf == "weight":
-            return (1.0 + 0.1 * rng.standard_normal(shape)).astype(np.float32)
-        return (0.02 * rng.standard_normal(shape)).astype(np.float32)
+            return (1.0 + normal(0.1)).astype(np.float32)
+        return normal(0.02)
     if leaf == "bias":
-        return (0.02 * rng.standard_normal(shape)).astype(np.float32)
+        return normal(0.02)
     # weight scale chosen so 6-layer activations stay O(1) without LN rescue
-    return (0.03 * rng.standard_normal(shape)).astype(np.float32)
+    return normal(0.03)
 
 
 def synth_hf_clip_state_dict(cfg: CLIPConfig,
                              seed: int = 0) -> Dict[str, np.ndarray]:
     """A full, shape-exact HF CLIP state dict with deterministic values."""
     return {k: _value_for(k, s, seed)
+            for k, s in hf_clip_key_shapes(cfg).items()}
+
+
+def zeros_hf_clip_state_dict(cfg: CLIPConfig) -> Dict[str, np.ndarray]:
+    """Shape-exact all-zeros dict — for key-coverage/shape tests where
+    values are irrelevant (zero pages make the 1.7 GB L/14 dict ~free)."""
+    return {k: np.zeros(s, np.float32)
             for k, s in hf_clip_key_shapes(cfg).items()}
 
 
@@ -233,7 +249,11 @@ def probe_inputs(seed: int = 0, batch: int = 8, n_prompts: int = 16,
 
 
 def golden_probe_inputs(cfg: CLIPConfig):
-    return probe_inputs(batch=2, n_prompts=4,
+    # L/14-class configs: probe batch 1 / 2 prompts — the CI check runs
+    # this forward at fp32-highest on one CPU core, and batching semantics
+    # are architecture-independent (covered at the smaller scales)
+    big = cfg.vision.layers > 12
+    return probe_inputs(batch=1 if big else 2, n_prompts=2 if big else 4,
                         image_size=cfg.vision.image_size,
                         context=cfg.text.context_length,
                         vocab_size=cfg.text.vocab_size)

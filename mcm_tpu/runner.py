@@ -133,13 +133,13 @@ def _build_vit_linear(cfg: RunConfig):
     ``detection_util.py:124-133``): backbone from an HF
     ``google/vit-base-patch16-224`` snapshot; head = the checkpoint's own
     classifier, or a trained linear probe passed via ``--finetune_ckpt``."""
-    from mcm_tpu.config import SupervisedViTConfig
+    from mcm_tpu.config import supervised_vit_config
     from mcm_tpu.models.vit import resolve_vit_params
 
     if cfg.score == "maha":
         raise ValueError("--score maha is CLIP-feature-based; "
                          "not supported with --model vit-Linear")
-    vit_cfg = SupervisedViTConfig()
+    vit_cfg = supervised_vit_config()
     params = resolve_vit_params(vit_cfg, cfg.ckpt_dir)
     if params is None:
         if not cfg.allow_random_weights:

@@ -24,6 +24,7 @@ intentionally mirrors torchvision semantics rather than our own
 
 from __future__ import annotations
 
+import importlib.machinery
 import importlib.util
 import os
 import sys
@@ -145,10 +146,11 @@ def install_torchvision_stub() -> None:
     datasets.vision = ds_vision
     tv.datasets = datasets
 
-    sys.modules["torchvision"] = tv
-    sys.modules["torchvision.datasets"] = datasets
-    sys.modules["torchvision.datasets.utils"] = ds_utils
-    sys.modules["torchvision.datasets.vision"] = ds_vision
+    for mod in (tv, datasets, ds_utils, ds_vision):
+        # a registered module without __spec__ breaks importlib.find_spec
+        # for every LATER caller in the process ("__spec__ is None")
+        mod.__spec__ = importlib.machinery.ModuleSpec(mod.__name__, None)
+        sys.modules[mod.__name__] = mod
 
 
 class RefPreprocess:

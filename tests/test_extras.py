@@ -15,7 +15,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _run(script, args, cwd):
-    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    # orchestration-level CLI checks: tiny structurally-identical doubles
+    # (docs/TESTING.md); full-size math is pinned by the parity tests
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO,
+               MCM_TPU_TEST_TINY_B16="1", MCM_TPU_TEST_TINY_VIT="1")
     return subprocess.run([sys.executable, os.path.join(REPO, script)] + args,
                           cwd=cwd, env=env, capture_output=True, text=True,
                           timeout=900)

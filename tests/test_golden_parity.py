@@ -115,10 +115,10 @@ def test_full_size_converter_consumes_every_key(ckpt):
     key must be read (a dropped/renamed key would silently zero a tensor
     at real scale) and the pytree must carry the exact shapes."""
     from mcm_tpu.models.convert import convert_hf_clip
-    from mcm_tpu.models.hf_synth import synth_hf_clip_state_dict
+    from mcm_tpu.models.hf_synth import zeros_hf_clip_state_dict
 
     cfg = _full_size_cfg(ckpt)
-    sd = synth_hf_clip_state_dict(cfg, seed=1)
+    sd = zeros_hf_clip_state_dict(cfg)  # key/shape test — values irrelevant
     accessed = set()
 
     class Tracking(dict):

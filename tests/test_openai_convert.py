@@ -52,10 +52,11 @@ def test_full_size_openai_converter_consumes_every_key(ckpt):
     from mcm_tpu.config import CLIP_CONFIGS
     from mcm_tpu.models.convert import convert_openai_clip
     from mcm_tpu.models.hf_synth import (hf_to_openai_state_dict,
-                                         synth_hf_clip_state_dict)
+                                         zeros_hf_clip_state_dict)
 
     cfg = CLIP_CONFIGS[ckpt]()
-    sd = hf_to_openai_state_dict(synth_hf_clip_state_dict(cfg, seed=1), cfg)
+    # key/shape coverage — zero values keep the full-size dicts ~free
+    sd = hf_to_openai_state_dict(zeros_hf_clip_state_dict(cfg), cfg)
     accessed = set()
 
     class Tracking(dict):

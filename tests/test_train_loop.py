@@ -65,7 +65,11 @@ def test_finetune_cli_then_clip_linear_eval(tmp_path):
     make_pet_tree(str(root), per_breed=4)
     make_imagefolder_tree(str(root / "ImageNet_OOD_dataset" / "dtd" /
                               "images"), ["banded"], 4, color_bias=40)
-    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    # orchestration check (train→checkpoint→CLIP-Linear eval loop): the
+    # tiny structurally-identical B/16 double keeps two full subprocess
+    # model builds off the 1-core critical path (docs/TESTING.md)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO,
+               MCM_TPU_TEST_TINY_B16="1")
     out = tmp_path / "ft_pet.npz"
     # B/32 keeps the full-size-CLI path while staying ~4x cheaper on CPU
     proc = subprocess.run(

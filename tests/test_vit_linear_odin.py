@@ -18,8 +18,15 @@ from util_synth import make_imagefolder_tree, make_pet_tree
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+# CLI tests here assert orchestration (routing, artifacts, resume), not
+# model math — run the structurally-identical tiny doubles
+# (docs/TESTING.md); the full-size models are pinned by parity tests.
+TINY_ENV = {"MCM_TPU_TEST_TINY_B16": "1", "MCM_TPU_TEST_TINY_VIT": "1"}
+TINY_VIT_WIDTH = 128
+
+
 def _run_cli(args, cwd):
-    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO, **TINY_ENV)
     return subprocess.run(
         [sys.executable, os.path.join(REPO, "eval_ood_detection.py")] + args,
         cwd=cwd, env=env, capture_output=True, text=True, timeout=900)
@@ -171,7 +178,8 @@ def test_cli_vit_linear(workdir):
     # a trained linear-probe head for 37 pet classes (random stand-in)
     rng = np.random.default_rng(0)
     probe = tmp / "probe.npz"
-    np.savez(probe, w=rng.standard_normal((768, 37)).astype(np.float32),
+    np.savez(probe,
+             w=rng.standard_normal((TINY_VIT_WIDTH, 37)).astype(np.float32),
              b=np.zeros(37, np.float32))
     proc = _run_cli([
         "--in_dataset", "pet37", "--root-dir", root,
