@@ -446,12 +446,47 @@ def run_eval(cfg: RunConfig) -> Dict[str, Dict[str, float]]:
     val_ds = set_val_loader(cfg.in_dataset, cfg.root_dir)
     test_labels = get_test_labels(cfg.in_dataset, val_ds)
 
-    mu = prec = text_feats = None
+    mu = prec = None
+    needs_text = cfg.score != "maha" and cfg.model != "vit-Linear"
+    _text: Dict[str, np.ndarray] = {}
+    _text_cache = os.path.join(
+        cfg.log_directory,
+        f"ID_{cfg.in_dataset}_text_features"
+        f"{'_ens' if cfg.template_ensemble else ''}.npz")
+
+    def text_dev():
+        """Replicated-on-mesh prompt features, encoded (or uploaded from
+        the host cache) only when a dataset actually needs scoring."""
+        if not needs_text:
+            return None
+        if "dev" not in _text:
+            if "host" in _text:
+                _text["dev"] = step.put_replicated(_text["host"])
+            else:
+                _text["dev"] = _encode_prompts(step, params, tokenizer,
+                                               test_labels,
+                                               cfg.template_ensemble)
+        return _text["dev"]
+
+    def text_host():
+        """Host copy of the prompt features, cached to disk: a fully-cached
+        --resume must touch the device ZERO times (on tunneled dev TPUs
+        every first d2h/op per process costs a minutes-long remote
+        executable load — measured 4.7 min for this one readback)."""
+        if not needs_text:
+            return None
+        if "host" not in _text:
+            if (cfg.resume and "dev" not in _text
+                    and os.path.exists(_text_cache)):
+                _text["host"] = np.load(_text_cache)["text_features"]
+                log.debug("resume: loaded cached text features")
+            else:
+                _text["host"] = np.asarray(text_dev(), dtype=np.float32)
+                np.savez(_text_cache, text_features=_text["host"])
+        return _text["host"]
+
     if cfg.score == "maha":
         mu, prec = _maha_templates(cfg, step, params, log, telemetry)
-    elif cfg.model != "vit-Linear":  # vit-Linear scores classifier logits
-        text_feats = _encode_prompts(step, params, tokenizer, test_labels,
-                                     cfg.template_ensemble)
 
     def scores_for(dataset, ds_name, in_dist):
         if cfg.resume:
@@ -463,7 +498,7 @@ def run_eval(cfg: RunConfig) -> Dict[str, Dict[str, float]]:
             s = maha_score_dataset(step, params, dataset, mu, prec, cfg,
                                    in_dist, telemetry)
         else:
-            s = score_dataset(step, params, dataset, text_feats, cfg,
+            s = score_dataset(step, params, dataset, text_dev(), cfg,
                               telemetry)
         save_scores(cfg.log_directory, ds_name, s)
         return s
@@ -477,15 +512,20 @@ def run_eval(cfg: RunConfig) -> Dict[str, Dict[str, float]]:
         # cached so --resume skips re-extraction too (not just scores)
         feats, labels = _id_features_cached(step, params, val_ds, cfg, log,
                                             maybe_profile, telemetry)
+        # scores from HOST-cached features compute on the host: a fresh
+        # device executable for this 3-GFLOP segment costs minutes of
+        # remote compile on tunneled dev TPUs (docs/PERF.md round 3)
         if cfg.model == "vit-Linear":
             # "features" are classifier logits — score them directly
-            from mcm_tpu.scores.msp import msp_scores
-            in_score = np.asarray(msp_scores(feats, cfg.score, cfg.T))
+            from mcm_tpu.scores.clip_scores import _scores_from_logits_host
+            in_score = _scores_from_logits_host(
+                np.asarray(feats, np.float32), cfg.T)[cfg.score]
+            in_score = np.asarray(in_score, np.float32)
         else:
-            from mcm_tpu.scores import compute_scores
-            in_score = np.asarray(compute_scores(
-                feats, np.asarray(text_feats), score=cfg.score, T=cfg.T))
-        _log_id_accuracy(cfg, feats, labels, text_feats, log)
+            from mcm_tpu.scores.clip_scores import compute_scores_host
+            in_score = compute_scores_host(
+                feats, text_host(), score=cfg.score, T=cfg.T)
+        _log_id_accuracy(cfg, feats, labels, text_host(), log)
         save_scores(cfg.log_directory, f"ID_{cfg.in_dataset}", in_score)
     else:
         with maybe_profile(cfg.trace_dir):
@@ -498,7 +538,7 @@ def run_eval(cfg: RunConfig) -> Dict[str, Dict[str, float]]:
                 feats, labels = _id_features_cached(step, params, val_ds,
                                                     cfg, log, maybe_profile,
                                                     telemetry)
-                _log_id_accuracy(cfg, feats, labels, text_feats, log)
+                _log_id_accuracy(cfg, feats, labels, text_host(), log)
 
     auroc_list: List[float] = []
     aupr_list: List[float] = []

@@ -84,6 +84,43 @@ def _scores_from_logits(logits: jax.Array, T: float) -> Dict[str, jax.Array]:
     }
 
 
+def _scores_from_logits_host(logits, T: float):
+    """numpy twin of :func:`_scores_from_logits` — same formulas, same
+    stable-softmax structure, fp32 throughout."""
+    import numpy as np
+
+    scaled = logits / np.float32(T)
+    m = np.max(scaled, axis=-1, keepdims=True)
+    e = np.exp(scaled - m)
+    z = np.sum(e, axis=-1, keepdims=True)
+    smax = e / z
+    logsumexp = np.squeeze(m + np.log(z), axis=-1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        plogp = np.where(smax > 0, smax * np.log(smax), 0.0)
+    return {
+        "MCM": -np.max(smax, axis=-1),
+        "max-logit": -np.max(logits, axis=-1),
+        "energy": -(np.float32(T) * logsumexp),
+        "entropy": -np.sum(plogp, axis=-1),
+        "var": -np.var(smax, axis=-1),
+    }
+
+
+def compute_scores_host(image_feats, text_feats, score: str = "MCM",
+                        T: float = 1.0):
+    """Host (numpy) scoring from cached features — used on paths where the
+    inputs already live on the host (``--resume``/``--eval_accuracy``
+    feature caches): a fresh device executable for 3 GFLOPs of fp32 math
+    costs minutes of remote compile on tunneled dev TPUs (measured 4.7 min
+    for this exact segment), vs <1 s on the host."""
+    import numpy as np
+
+    img = np.asarray(image_feats, dtype=np.float32)
+    img = img / np.linalg.norm(img, axis=-1, keepdims=True)
+    logits = img @ np.asarray(text_feats, dtype=np.float32).T
+    return _scores_from_logits_host(logits, T)[score].astype(np.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("score", "T"))
 def compute_scores(image_feats: jax.Array, text_feats: jax.Array,
                    score: str = "MCM", T: float = 1.0) -> jax.Array:

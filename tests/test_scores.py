@@ -136,3 +136,23 @@ def test_scores_degenerate_inputs_are_finite(rng, score):
     mcm = np.asarray(compute_scores(jnp.asarray(img), jnp.asarray(one_txt),
                                     score="MCM", T=1.0))
     np.testing.assert_allclose(mcm, -1.0, atol=1e-6)
+
+
+def test_host_scores_match_jit_path(rng):
+    """compute_scores_host (the --resume/--eval_accuracy host fast path)
+    must match the jitted device formulas for every score variant."""
+    import numpy as np
+
+    from mcm_tpu.scores import compute_scores, l2_normalize
+    from mcm_tpu.scores.clip_scores import (CLIP_SCORES,
+                                            compute_scores_host)
+
+    feats = rng.standard_normal((64, 32)).astype(np.float32) * 3
+    text = np.asarray(l2_normalize(
+        rng.standard_normal((11, 32)).astype(np.float32)))
+    for score in CLIP_SCORES:
+        for T in (1.0, 4.0):
+            dev = np.asarray(compute_scores(feats, text, score=score, T=T))
+            host = compute_scores_host(feats, text, score=score, T=T)
+            np.testing.assert_allclose(host, dev, rtol=2e-5, atol=2e-6,
+                                       err_msg=f"{score} T={T}")

@@ -246,7 +246,13 @@ def test_cli_eval_accuracy_resume_uses_cached_features(workdir):
     # instead of re-extracting the full val set
     np.savez(feat_path, features=data["features"][:3],
              labels=data["labels"][:3])
+    # the eval_accuracy path must also have cached the prompt features on
+    # the host — a fully-cached resume performs ZERO device text encodes
+    # (on tunneled dev TPUs the first d2h per process costs minutes)
+    assert (log_dir / "ID_pet37_text_features.npz").exists()
+
     proc = _run_cli(common + ["--resume"], cwd=str(tmp))
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "resume: loaded cached ID features" in proc.stderr + proc.stdout
+    assert "resume: loaded cached text features" in proc.stderr + proc.stdout
     assert np.load(log_dir / "ID_pet37_scores.npy").shape[0] == 3
