@@ -19,6 +19,7 @@ the checkpoint automatically.
 
 import argparse
 import os
+import sys
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -119,7 +120,12 @@ def main():
         model=args.model,
         clip_ckpt=args.CLIP_ckpt,
         score=args.score,
-        feat_dim=args.feat_dim,
+        # forward only an EXPLICIT --feat_dim: the argparse default (512,
+        # the reference's) would false-positive the contradiction warning
+        # on every L/14 run where the dim is correctly derived as 768
+        feat_dim=(args.feat_dim
+                  if any(a.split("=")[0] == "--feat_dim" for a in sys.argv)
+                  else None),
         normalize=bool(args.normalize),
         generate=bool(args.generate),
         template_dir=args.template_dir,

@@ -82,10 +82,11 @@ def _stack(sd: Dict[str, np.ndarray], tmpl: str, n: int,
            transpose: bool) -> np.ndarray:
     mats = [sd[tmpl.format(i)] for i in range(n)]
     if transpose:  # torch Linear stores (out, in)
-        # contiguous stack first, one batched transpose-copy after —
-        # measurably faster than stacking n transposed views
-        return np.ascontiguousarray(
-            np.stack(mats).transpose(0, 2, 1)).astype(np.float32)
+        # contiguous stack first, ONE batched transpose-copy (with the
+        # dtype folded in) — faster than stacking n transposed views, and
+        # no second astype copy
+        return np.ascontiguousarray(np.stack(mats).transpose(0, 2, 1),
+                                    dtype=np.float32)
     return np.stack(mats).astype(np.float32)
 
 

@@ -114,6 +114,17 @@ def init_clip(key, cfg: CLIPConfig) -> dict:
     }
 
 
+def clip_param_sds(cfg: CLIPConfig):
+    """ShapeDtypeStruct pytree of :func:`init_clip`'s output — for AOT
+    ``lower().compile()`` checks.  Derived by materializing one init and
+    mapping to shapes (seconds + transient RAM) rather than hand-listing
+    shapes, so it can never drift from the real parameter layout."""
+    params = init_clip(0, cfg)
+    return jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+        params)
+
+
 def init_supervised_vit(key, cfg: SupervisedViTConfig) -> dict:
     """Random init for the supervised ViT MSP-baseline classifier."""
     rng = _rng_for(key)

@@ -104,8 +104,13 @@ class OODDetector:
                 raise ValueError(
                     f"expected the reference's *_classwise_mean_*.pt "
                     f"template path, got {path}")
-            mu, prec = load_pt_templates(
-                path, path.replace("classwise_mean", "precision"))
+            # derive the sibling path from the FILENAME only — a directory
+            # component containing "classwise_mean" must not be rewritten
+            prec_path = os.path.join(
+                os.path.dirname(path),
+                os.path.basename(path).replace("classwise_mean",
+                                               "precision"))
+            mu, prec = load_pt_templates(path, prec_path)
             stem = os.path.basename(path)[:-len(".pt")]
             stored = (True if stem.endswith("_True") else
                       False if stem.endswith("_False") else None)

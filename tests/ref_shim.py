@@ -45,11 +45,22 @@ _IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".ppm", ".bmp", ".pgm", ".tif",
 def install_torchvision_stub() -> None:
     """Register a minimal-but-faithful torchvision in sys.modules (no-op if
     the real torchvision is importable)."""
-    if importlib.util.find_spec("torchvision") is not None:
-        return
-    # always (re)install: test_metrics.py may have registered a bare
-    # ModuleType stub earlier in the same process, which lacks the
-    # datasets.vision/utils surface the reference dataloaders import
+    try:
+        if importlib.util.find_spec("torchvision") is not None:
+            # a real torchvision (or this stub, registered with specs on a
+            # previous call) — but a find_spec success can also be OUR
+            # earlier install; only bail for a genuinely importable module
+            if "torchvision" not in sys.modules or hasattr(
+                    sys.modules["torchvision"], "__file__"):
+                return
+    except ValueError:
+        # test_metrics.py registers a bare ModuleType stub whose __spec__
+        # is None — find_spec raises for those; fall through and replace
+        # it with the faithful stub
+        pass
+    # always (re)install: a bare stub registered earlier in the process
+    # lacks the datasets.vision/utils surface the reference dataloaders
+    # import
 
     import torch
 

@@ -24,18 +24,10 @@ from mcm_tpu.parallel import EvalStep, make_mesh
 BATCH = 512
 
 
-def _param_sds(cfg):
-    from mcm_tpu.models.init import init_clip
-
-    params = init_clip(0, cfg)
-    return jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
-        params)
-
-
 @pytest.fixture(scope="module")
 def b16_sds():
-    return _param_sds(CLIP_CONFIGS["ViT-B/16"]())
+    from mcm_tpu.models.init import clip_param_sds
+    return clip_param_sds(CLIP_CONFIGS["ViT-B/16"]())
 
 
 @pytest.mark.parametrize("tp", [1, 2, 4])
@@ -55,7 +47,8 @@ def test_l14_eval_programs_compile_on_8dev_mesh():
     mesh = make_mesh(8, model_parallel=4)  # vision heads 16, text heads 12
     step = EvalStep(cfg, score="MCM", precision=Precision.fast(), mesh=mesh)
 
-    sds = _param_sds(cfg)
+    from mcm_tpu.models.init import clip_param_sds
+    sds = clip_param_sds(cfg)
     imgs = jax.ShapeDtypeStruct((BATCH, 224, 224, 3), jnp.uint8)
     text = jax.ShapeDtypeStruct((1000, cfg.embed_dim), jnp.float32)
     step._score.lower(sds, imgs, text).compile()

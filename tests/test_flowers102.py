@@ -68,7 +68,7 @@ def test_cli_flower102_end_to_end(root, tmp_path):
                                        "images"), ["banded"], 4,
                           color_bias=40)
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO,
-               MCM_TPU_TEST_TINY_B16="1")
+               MCM_TPU_TEST_TINY_B16="1", MCM_TPU_TEST_TINY_VIT="1")
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "eval_ood_detection.py"),
          "--in_dataset", "flower102", "--root-dir", root,
@@ -93,7 +93,7 @@ def test_msp_baseline_cli_accepts_flower102(root, tmp_path):
                                        "images"), ["banded"], 4,
                           color_bias=40)
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO,
-               MCM_TPU_TEST_TINY_B16="1")
+               MCM_TPU_TEST_TINY_B16="1", MCM_TPU_TEST_TINY_VIT="1")
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "eval_msp_baseline.py"),
          "--in_dataset", "flower102", "--root-dir", root,

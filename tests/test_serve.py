@@ -310,7 +310,11 @@ def test_microbatcher_score_awaits_prefix_on_overload(detector, monkeypatch):
     with MicroBatcher(detector, max_wait_ms=1, max_pending=2) as mb:
         with pytest.raises(Overloaded):
             mb.score(imgs)
-        # the prefix was awaited, so capacity is free the moment score()
-        # raises — a dropped-futures bug would leave outstanding slots
+        # the prefix was awaited; capacity frees as the done-callbacks run
+        # (set_result wakes result() waiters BEFORE callbacks, so poll
+        # briefly rather than asserting the counter instantaneously)
+        deadline = time.monotonic() + 10
+        while mb._outstanding and time.monotonic() < deadline:
+            time.sleep(0.01)
         assert mb._outstanding == 0
         assert mb.submit(imgs[0]).result(timeout=60) == 0.0

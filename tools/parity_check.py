@@ -286,6 +286,10 @@ def full_report(args):
     from mcm_tpu.models.convert import resolve_clip_params
     from mcm_tpu.text.tokenizer import CLIPTokenizer as OurTok
 
+    if args.ood_tree and not args.id_tree:
+        sys.exit("--ood-tree requires --id-tree (metrics compare an ID/OOD "
+                 "pair); refusing to emit a PASS that skipped the request")
+
     cfg = CLIP_CONFIGS[args.ckpt]()
     hf_dir = args.hf_dir or os.path.join(
         args.ckpt_dir, HF_CKPT_MAPPING[args.ckpt].split("/")[-1])
