@@ -134,11 +134,17 @@ def _run_ours(assets, score, name, **over):
         os.chdir(cwd)
 
 
-@pytest.mark.parametrize("score", ["MCM", "energy"])
+@pytest.mark.parametrize("score", ["MCM", "energy", "entropy"])
 def test_clip_scores_end_to_end(ref, assets, tmp_path, score):
     """Reference ``get_ood_scores_clip`` + ``get_measures`` +
     ``save_as_dataframe`` vs our CLI pipeline: per-image scores, metrics,
-    and the CSV file itself."""
+    and the CSV file itself.
+
+    The three parametrized scores cover the distinct formula families the
+    reference routes through this loop: softmax-max (MCM), logsumexp
+    (energy), and ``scipy.stats.entropy`` with its natural-log/0·log0
+    semantics (entropy); max-logit and var share those building blocks
+    and are pinned at the formula layer (test_scores)."""
     id_loader, ood_loader = _ref_loaders(ref, assets)
     args = _ref_args(assets, score)
     test_labels = ref.common.get_test_labels(args, id_loader)
