@@ -18,6 +18,7 @@
 #include <cstdio>
 
 #include <jpeglib.h>
+#include <jerror.h>  // JWRN_* codes for warning classification
 
 #include <algorithm>
 #include <atomic>
@@ -34,6 +35,7 @@ namespace {
 struct ErrMgr {
   jpeg_error_mgr pub;
   jmp_buf jump;
+  long serious_warnings;
 };
 
 void error_exit(j_common_ptr cinfo) {
@@ -42,8 +44,27 @@ void error_exit(j_common_ptr cinfo) {
 }
 
 // Keep worker threads from spamming stderr with libjpeg corruption
-// warnings; the warning COUNT still fails the decode below.
+// warnings; SERIOUS warnings still fail the decode below.
 void output_message(j_common_ptr) {}
+
+// Classify warnings instead of failing on any (round-2 advisory): junk
+// bytes between/after entropy segments (JWRN_EXTRANEOUS_DATA) and
+// metadata oddities leave the decoded pixels untouched and PIL accepts
+// such files without raising — pushing them onto the per-image PIL
+// fallback would only cost throughput.  Everything else (premature EOF,
+// bad Huffman/arith codes, marker resync) means libjpeg invented pixel
+// data, where the PIL reference path raises — those must keep failing
+// the native decode so the fallback reproduces reference behavior.
+void emit_message(j_common_ptr cinfo, int msg_level) {
+  if (msg_level >= 0) return;  // trace chatter, not a warning
+  ErrMgr* err = reinterpret_cast<ErrMgr*>(cinfo->err);
+  const int code = cinfo->err->msg_code;
+  const bool benign = code == JWRN_EXTRANEOUS_DATA ||
+                      code == JWRN_JFIF_MAJOR ||
+                      code == JWRN_ADOBE_XFORM;
+  if (!benign) err->serious_warnings++;
+  cinfo->err->num_warnings++;  // keep libjpeg's own bookkeeping intact
+}
 
 // Decode a JPEG file into an RGB buffer. Returns false on any failure.
 // In fast mode, asks libjpeg for the smallest M/8 DCT scale that keeps the
@@ -58,6 +79,8 @@ bool decode_jpeg(const char* path, int out_size, bool fast,
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit;
   jerr.pub.output_message = output_message;
+  jerr.pub.emit_message = emit_message;
+  jerr.serious_warnings = 0;
   if (setjmp(jerr.jump)) {
     jpeg_destroy_decompress(&cinfo);
     std::fclose(f);
@@ -98,8 +121,10 @@ bool decode_jpeg(const char* path, int out_size, bool fast,
   // it fakes an EOI and fills the remaining MCU rows with gray, returning
   // "success".  The PIL reference path raises for such files, so silently
   // accepting them would diverge scores — fail here and let the per-image
-  // PIL fallback reproduce the reference behavior exactly.
-  const long warnings = jerr.pub.num_warnings;
+  // PIL fallback reproduce the reference behavior exactly.  Benign
+  // warnings (extraneous bytes, metadata oddities) are filtered by
+  // emit_message above: pixels are unaffected and PIL accepts them.
+  const long warnings = jerr.serious_warnings;
   jpeg_destroy_decompress(&cinfo);
   std::fclose(f);
   // JCS_RGB above makes libjpeg do gray->RGB itself, so comps is 3 for

@@ -119,6 +119,35 @@ def test_truncated_jpeg_fails_native_and_falls_back(tmp_path):
     assert status[1] != 0, "truncated JPEG must not decode 'successfully'"
 
 
+def test_extraneous_data_jpeg_decodes_natively(tmp_path):
+    """Junk bytes before a marker (JWRN_EXTRANEOUS_DATA) leave decoded
+    pixels untouched and PIL accepts such files — the native path must
+    classify that warning as benign and decode in place rather than
+    punting every such file to the slow per-image PIL fallback."""
+    import numpy as np
+    from PIL import Image
+
+    from mcm_tpu.runtime.native import decode_batch, native_available
+    if not native_available():
+        pytest.skip("no native decoder")
+    good = tmp_path / "good.jpg"
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.integers(0, 255, (96, 128, 3), dtype=np.uint8)
+                    ).save(good, quality=90)
+    data = good.read_bytes()
+    assert data.endswith(b"\xff\xd9")
+    bad = tmp_path / "extraneous.jpg"
+    # Junk (no 0xFF bytes) before EOI -> "N extraneous bytes before 0xd9"
+    bad.write_bytes(data[:-2] + bytes([1, 2, 3, 4] * 8) + b"\xff\xd9")
+    im = Image.open(bad)
+    im.load()  # PIL accepts this file without raising
+
+    out, status = decode_batch([str(good), str(bad)], size=64, n_threads=1)
+    assert status[0] == 0
+    assert status[1] == 0, "benign extraneous-data warning must not fail"
+    assert np.array_equal(out[0], out[1]), "pixels must be unaffected"
+
+
 def test_host_tag_staleness(tmp_path, monkeypatch):
     """A cached .so built on a different CPU (mismatched host tag) must be
     treated as stale — -march=native code would SIGILL, and dlopen can't
