@@ -42,6 +42,22 @@ def test_pallas_attention_bf16(rng):
         rtol=0.05, atol=0.05)
 
 
+@pytest.mark.parametrize("shape,block_bh", [((2, 4, 197, 64), 4),
+                                            ((2, 3, 50, 32), 4),
+                                            ((1, 2, 120, 64), 2)])
+def test_pallas_batched_attention_matches_xla(rng, shape, block_bh):
+    """The 3D-batched-dot kernel, incl. a (b·h % block_bh != 0) edge-pad
+    case (2·3=6 pairs, block 4)."""
+    from mcm_tpu.ops.attention import _pallas_batched_attention
+    q, k, v = (jnp.asarray(rng.standard_normal(shape), jnp.float32)
+               for _ in range(3))
+    want = _xla_attention(q, k, v, None, Precision.parity())
+    with pltpu.force_tpu_interpret_mode():
+        got = _pallas_batched_attention(q, k, v, block_bh=block_bh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.parametrize("h,block_h", [(12, 6), (16, 6), (12, 12)])
 def test_pallas_mh_attention_matches_xla(rng, h, block_h):
     """Real-chip only: the head-grouped kernel's in-kernel ``fori_loop``

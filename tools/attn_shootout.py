@@ -64,6 +64,7 @@ def main():
 
     from mcm_tpu.config import Precision
     from mcm_tpu.ops.attention import (_pallas_attention,
+                                       _pallas_batched_attention,
                                        _pallas_mh_attention, _xla_attention)
 
     rng = np.random.default_rng(0)
@@ -81,6 +82,11 @@ def main():
         measure(f"pallas_mh_h{bh}",
                 lambda q, k, v, bh=bh: _pallas_mh_attention(q, k, v,
                                                             block_h=bh),
+                (q, k, v))
+    for bb in (8, 16, 32):
+        measure(f"pallas_batched_b{bb}",
+                lambda q, k, v, bb=bb: _pallas_batched_attention(
+                    q, k, v, block_bh=bb),
                 (q, k, v))
 
     from jax.experimental.pallas.ops.tpu.flash_attention import (
