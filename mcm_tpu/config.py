@@ -150,9 +150,13 @@ class Precision:
     #: "default" lets fp32 inputs go through bf16x3/bf16 fast paths (speed).
     matmul_precision: str = "default"
     #: attention implementation for unmasked (vision) attention:
-    #: "auto" (currently XLA — measured fastest end-to-end), or force
-    #: "xla" / "pallas" (our full-S kernel) / "pallas_mh" (head-grouped)
-    #: / "flash" (jax's TPU FlashAttention, S padded to 128-multiples).
+    #: "auto" — the pallas_bsd kernel on TPU in bf16 fast mode (measured
+    #: 3741 vs 2945 img/s e2e on v5e, docs/PERF.md round 3), XLA
+    #: elsewhere (CPU, parity mode, masked/text, odd head dims) — or
+    #: force "xla" / "pallas_bsd" ([B,S,D]-native batched-dot kernel) /
+    #: "pallas" (full-S per-(b·h) kernel) / "pallas_mh" (head-grouped) /
+    #: "pallas_batched" (pre-split batched-dot) / "flash" (jax's TPU
+    #: FlashAttention, S padded to 128-multiples).
     attn_impl: str = "auto"
     #: MLP implementation: "auto"/"xla" (XLA matmuls), or "pallas" — the
     #: fused fc1→act→fc2 kernel keeping the [B·S, 4D] intermediate in VMEM.

@@ -104,10 +104,10 @@ def transformer_block(x: jax.Array, layer: Params, *, heads: int, eps: float,
     q = _dense(h, layer["attn"]["wq"], layer["attn"]["bq"], precision)
     k = _dense(h, layer["attn"]["wk"], layer["attn"]["bk"], precision)
     v = _dense(h, layer["attn"]["wv"], layer["attn"]["bv"], precision)
-    a = mha_attention(_split_heads(q, heads), _split_heads(k, heads),
-                      _split_heads(v, heads), mask, precision)
-    a = _dense(_merge_heads(a), layer["attn"]["wo"], layer["attn"]["bo"],
-               precision)
+    from mcm_tpu.ops.attention import encoder_attention
+    a = encoder_attention(q, k, v, heads=heads, mask=mask,
+                          precision=precision)
+    a = _dense(a, layer["attn"]["wo"], layer["attn"]["bo"], precision)
     x = x + a
 
     h = layer_norm(x, layer["ln2"]["scale"], layer["ln2"]["bias"], eps)

@@ -21,8 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from mcm_tpu.config import Precision, SupervisedViTConfig
-from mcm_tpu.models.clip import (_dense, _merge_heads, _split_heads,
-                                 layer_norm, mha_attention, patchify)
+from mcm_tpu.models.clip import _dense, layer_norm, patchify
+from mcm_tpu.ops.attention import encoder_attention
 
 Params = Dict[str, Any]
 
@@ -34,10 +34,9 @@ def _vit_block(x, layer, *, heads: int, eps: float,
     q = _dense(h, layer["attn"]["wq"], layer["attn"]["bq"], precision)
     k = _dense(h, layer["attn"]["wk"], layer["attn"]["bk"], precision)
     v = _dense(h, layer["attn"]["wv"], layer["attn"]["bv"], precision)
-    a = mha_attention(_split_heads(q, heads), _split_heads(k, heads),
-                      _split_heads(v, heads), None, precision)
-    x = x + _dense(_merge_heads(a), layer["attn"]["wo"], layer["attn"]["bo"],
-                   precision)
+    a = encoder_attention(q, k, v, heads=heads, mask=None,
+                          precision=precision)
+    x = x + _dense(a, layer["attn"]["wo"], layer["attn"]["bo"], precision)
     h = layer_norm(x, layer["ln2"]["scale"], layer["ln2"]["bias"], eps)
     h = _dense(h, layer["mlp"]["w1"], layer["mlp"]["b1"], precision)
     h = jax.nn.gelu(h.astype(jnp.float32),

@@ -158,6 +158,67 @@ def _pallas_batched_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return out.reshape(b, h, s, dh)
 
 
+def _bsd_attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                          dh: int):
+    """Batched-dot attention over [blk, S, 128] lane-tiles of the
+    projections' natural [B, S, D] layout (128 = two Dh=64 heads).
+
+    The head gather happens in the BLOCK DMA: the grid runs over
+    (batch-chunk, head-pair) and Pallas DMAs each pair's strided HBM
+    slice into VMEM, overlapped with compute; the two heads inside the
+    128-lane tile are static lane slices (Mosaic requires minor block
+    dims divisible by 128, so per-64-lane blocking is not expressible —
+    but in-register 64-lane slicing is fine).  The HBM-materialized
+    [B, H, S, Dh] transposes that sank the earlier kernels e2e never
+    exist, and — unlike XLA's transpose copy — each element is READ
+    once, never written back."""
+    blk, s, lanes = q_ref.shape
+    outs = []
+    for j in range(lanes // dh):
+        sl = slice(j * dh, (j + 1) * dh)
+        q = (q_ref[:, :, sl].astype(jnp.float32) * scale
+             ).astype(q_ref.dtype)
+        logits = jax.lax.dot_general(
+            q, k_ref[:, :, sl], (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)      # [blk, S, S]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[:, :, sl],
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))     # [blk, S, Dh]
+    o_ref[...] = jnp.concatenate(outs, axis=2).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "block_b"))
+def _pallas_bsd_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                          heads: int, block_b: int = 16) -> jax.Array:
+    """Attention straight from [B, S, D] projections to a [B, S, D] result
+    (head axes never materialize in HBM).  VMEM per program ≈
+    4·block_b·S·128·2B double-buffered + 2·block_b·S²·4B logits+probs —
+    block_b=16 at the B/16 encoder shape ≈ 13 MB (measured on v5e:
+    3.27 ms/layer-batch vs XLA's 4.40, and no [B,H,S,Dh] HBM layouts)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, s, d = q.shape
+    dh = d // heads
+    if 128 % dh or d % 128:
+        raise ValueError(f"pallas_bsd needs Dh dividing 128 and D a "
+                         f"multiple of 128, got Dh={dh}, D={d}")
+    scale = dh ** -0.5
+    spec = pl.BlockSpec((block_b, s, 128), lambda i, j: (i, 0, j),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_bsd_attention_kernel, scale=scale, dh=dh),
+        grid=(pl.cdiv(b, block_b), d // 128),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, s, d), q.dtype),
+    )(q, k, v)
+
+
 @functools.partial(jax.jit, static_argnames=("block_q",))
 def _pallas_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                       block_q: int = 256) -> jax.Array:
@@ -220,21 +281,71 @@ def _flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     return out[:, :, :s] if pad else out
 
 
+def _bsd_block_b(s: int, d: int) -> int:
+    """Largest batch block whose per-program VMEM footprint (4 tensors
+    double-buffered + fp32 logits and probs) stays under ~14 MB of the
+    16 MB scoped-vmem limit."""
+    for blk in (16, 8, 4, 2, 1):
+        est = 4 * blk * s * 128 * 2 * 2 + 2 * blk * s * s * 4
+        if est <= 14 * 1024 * 1024:
+            return blk
+    return 1
+
+
+def encoder_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                      heads: int, mask: Optional[jax.Array],
+                      precision: Precision) -> jax.Array:
+    """Multi-head attention straight from the projections' [B, S, D]
+    layout to a [B, S, D] result — the model-level entry point.
+
+    Routes to the ``pallas_bsd`` kernel when it applies (TPU, unmasked,
+    bf16 fast mode, Dh | 128 and 128 | D): measured 3.27 ms/layer-batch
+    vs XLA's 4.40 at the B/16 encoder shape AND no [B, H, S, Dh] HBM
+    layout materialization — +27% end-to-end (3741 vs 2945 img/s on
+    v5e, docs/PERF.md round 3).  Everything else (text tower's causal
+    mask, CPU tests, parity mode, odd head dims) takes the split-heads
+    XLA/explicit-impl path, whose numerics are the golden-tested
+    reference."""
+    b, s, d = q.shape
+    dh = d // heads
+    impl = None if precision.attn_impl == "auto" else precision.attn_impl
+    bsd_ok = (mask is None and d % 128 == 0 and 128 % dh == 0
+              and jax.default_backend() != "cpu")
+    if impl == "pallas_bsd" or (
+            impl is None and bsd_ok
+            and precision.activation_dtype == jnp.bfloat16):
+        if not bsd_ok:
+            raise ValueError("attn_impl=pallas_bsd needs an unmasked "
+                             "TPU call with Dh | 128 and 128 | D; got "
+                             f"mask={mask is not None}, D={d}, Dh={dh}")
+        return _pallas_bsd_attention(q, k, v, heads=heads,
+                                     block_b=_bsd_block_b(s, d))
+
+    def split(x):
+        return x.reshape(b, s, heads, dh).transpose(0, 2, 1, 3)
+
+    out = fused_attention(split(q), split(k), split(v), mask, precision,
+                          impl=impl)
+    return out.transpose(0, 2, 1, 3).reshape(b, s, d)
+
+
 def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     mask: Optional[jax.Array] = None,
                     precision: Precision = Precision.fast(),
                     impl: Optional[str] = None) -> jax.Array:
-    """Multi-head attention [B, H, S, Dh] → [B, H, S, Dh].
+    """Multi-head attention [B, H, S, Dh] → [B, H, S, Dh] (pre-split
+    heads; :func:`encoder_attention` is the model-level [B, S, D] entry).
 
-    ``impl``: "flash" | "pallas" | "xla" | None (auto).
+    ``impl``: "flash" | "pallas" | "pallas_mh" | "pallas_batched" |
+    "xla" | None (auto).
     """
     if impl is None:
-        # CONCLUSIVE on v5e at encoder shapes (docs/PERF.md "Attention:
-        # conclusive negative result"): XLA 4.40 ms/layer vs our best
-        # kernel 6.27 ms and jax's own flash kernel 10.6 ms — tiny
+        # The best SPLIT-HEADS choice is XLA (docs/PERF.md round 2:
+        # 4.40 ms/layer vs 6.27 for the best per-head kernel — small
         # per-head matmuls drain the MXU per program while XLA's batched
-        # GEMM streams it, and Dh=64 wastes half the lanes in any Pallas
-        # layout.  The kernels stay in-tree as tested references.
+        # GEMM streams it).  The round-3 pallas_bsd kernel beats both,
+        # but it consumes [B, S, D] directly — routed above this layer
+        # in encoder_attention, never through this split-heads surface.
         impl = "xla"
     if impl == "flash" and mask is None:
         return _flash_attention(q, k, v)

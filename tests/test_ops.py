@@ -58,6 +58,30 @@ def test_pallas_batched_attention_matches_xla(rng, shape, block_bh):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("shape,heads,block_b", [((3, 17, 128), 2, 2),
+                                                 ((2, 197, 256), 4, 2),
+                                                 ((5, 33, 128), 16, 2)])
+def test_pallas_bsd_attention_matches_xla(rng, shape, heads, block_b):
+    """[B,S,D]-native kernel (DMA head gather, in-register lane split),
+    incl. odd-B edge-pad cases (3 and 5 images, block 2) and sub-64 head
+    dims (Dh=8)."""
+    from mcm_tpu.ops.attention import _pallas_bsd_attention
+    b, s, d = shape
+    q, k, v = (jnp.asarray(rng.standard_normal(shape), jnp.float32)
+               for _ in range(3))
+
+    def split(x):
+        return x.reshape(b, s, heads, d // heads).transpose(0, 2, 1, 3)
+
+    want = _xla_attention(split(q), split(k), split(v), None,
+                          Precision.parity()
+                          ).transpose(0, 2, 1, 3).reshape(b, s, d)
+    with pltpu.force_tpu_interpret_mode():
+        got = _pallas_bsd_attention(q, k, v, heads=heads, block_b=block_b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.parametrize("h,block_h", [(12, 6), (16, 6), (12, 12)])
 def test_pallas_mh_attention_matches_xla(rng, h, block_h):
     """Real-chip only: the head-grouped kernel's in-kernel ``fori_loop``
