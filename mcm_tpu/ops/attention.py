@@ -171,7 +171,15 @@ def _bsd_attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     but in-register 64-lane slicing is fine).  The HBM-materialized
     [B, H, S, Dh] transposes that sank the earlier kernels e2e never
     exist, and — unlike XLA's transpose copy — each element is READ
-    once, never written back."""
+    once, never written back.
+
+    The fp32 in-probs softmax is kept deliberately: a chip decomposition
+    (tools/bsd_probe.py) shows the WHOLE softmax costs 0.26 ms of the
+    3.19 ms kernel (fully overlapped with the MXU), and both measured
+    alternatives — dividing the [blk, S, Dh] output instead of the
+    [S, S] probs (tools/bsd_variants.py) and an all-bf16 softmax — are
+    timing-neutral while losing precision.  The kernel is dots/layout
+    bound at a 2.93 ms no-softmax floor."""
     blk, s, lanes = q_ref.shape
     outs = []
     for j in range(lanes // dh):
