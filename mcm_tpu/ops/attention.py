@@ -289,14 +289,16 @@ def _flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     return out[:, :, :s] if pad else out
 
 
-def _bsd_block_b(s: int, d: int) -> int:
+def _bsd_block_b(s: int, d: int, b: int = 1 << 30) -> int:
     """Largest batch block whose per-program VMEM footprint (4 tensors
     double-buffered + fp32 logits and probs) stays under ~14 MB of the
-    16 MB scoped-vmem limit."""
+    16 MB scoped-vmem limit, clamped to the actual batch: a serving
+    bucket of 1 image would otherwise pad to a 16-wide block and spend
+    16× the attention compute on discarded rows."""
     for blk in (16, 8, 4, 2, 1):
         est = 4 * blk * s * 128 * 2 * 2 + 2 * blk * s * s * 4
         if est <= 14 * 1024 * 1024:
-            return blk
+            return min(blk, b)
     return 1
 
 
@@ -327,7 +329,7 @@ def encoder_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                              "TPU call with Dh | 128 and 128 | D; got "
                              f"mask={mask is not None}, D={d}, Dh={dh}")
         return _pallas_bsd_attention(q, k, v, heads=heads,
-                                     block_b=_bsd_block_b(s, d))
+                                     block_b=_bsd_block_b(s, d, b))
 
     def split(x):
         return x.reshape(b, s, heads, dh).transpose(0, 2, 1, 3)

@@ -60,11 +60,12 @@ def test_pallas_batched_attention_matches_xla(rng, shape, block_bh):
 
 @pytest.mark.parametrize("shape,heads,block_b", [((3, 17, 128), 2, 2),
                                                  ((2, 197, 256), 4, 2),
-                                                 ((5, 33, 128), 16, 2)])
+                                                 ((5, 33, 128), 16, 2),
+                                                 ((1, 33, 128), 2, 16)])
 def test_pallas_bsd_attention_matches_xla(rng, shape, heads, block_b):
     """[B,S,D]-native kernel (DMA head gather, in-register lane split),
-    incl. odd-B edge-pad cases (3 and 5 images, block 2) and sub-64 head
-    dims (Dh=8)."""
+    incl. odd-B edge-pad cases (3 and 5 images, block 2), sub-64 head
+    dims (Dh=8), and B smaller than the block (serving's bucket-1)."""
     from mcm_tpu.ops.attention import _pallas_bsd_attention
     b, s, d = shape
     q, k, v = (jnp.asarray(rng.standard_normal(shape), jnp.float32)
