@@ -11,8 +11,16 @@ backend use.
 
 import os
 
+# MCM_TPU_TEST_TPU=1 points the suite at the attached real TPU instead:
+# the chip-gated tests (test_ops "on_chip"/"pallas_mh") stop skipping and
+# everything else runs single-device. Intended for targeted -k runs —
+# the full suite on a tunneled dev chip would pay a remote compile per
+# executable.
+_REAL_TPU = os.environ.get("MCM_TPU_TEST_TPU") == "1"
+
 # belt (for subprocesses)...
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+if not _REAL_TPU:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
 # jax 0.9's async CPU dispatch intermittently SIGABRTs in the
 # device-to-host of sharded arrays when one process compiles many
 # mesh/sharding variants (~1-in-5 full runs of test_train; reproduced,
@@ -23,8 +31,9 @@ os.environ.setdefault("JAX_CPU_ENABLE_ASYNC_DISPATCH", "false")
 # ...and suspenders (for this process, where jax may already be imported)
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+if not _REAL_TPU:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_cpu_enable_async_dispatch", False)
 
 import numpy as np  # noqa: E402
