@@ -156,7 +156,9 @@ class Precision:
     #: force "xla" / "pallas_bsd" ([B,S,D]-native batched-dot kernel) /
     #: "pallas" (full-S per-(b·h) kernel) / "pallas_mh" (head-grouped) /
     #: "pallas_batched" (pre-split batched-dot) / "flash" (jax's TPU
-    #: FlashAttention, S padded to 128-multiples).
+    #: FlashAttention, S padded to 128-multiples).  Forced kernels apply
+    #: to unmasked (vision) attention; masked (text-tower) calls always
+    #: fall back to the XLA path.
     attn_impl: str = "auto"
     #: MLP implementation: "auto"/"xla" (XLA matmuls), or "pallas" — the
     #: fused fc1→act→fc2 kernel keeping the [B·S, 4D] intermediate in VMEM.

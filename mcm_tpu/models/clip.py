@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from mcm_tpu.config import CLIPConfig, Precision, TextConfig, VisionConfig
+from mcm_tpu.ops.attention import encoder_attention
 
 Params = Dict[str, Any]
 
@@ -70,32 +71,6 @@ def _dense(x: jax.Array, w: jax.Array, b: Optional[jax.Array],
     return y.astype(cdt)
 
 
-def mha_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                  mask: Optional[jax.Array],
-                  precision: Precision) -> jax.Array:
-    """Multi-head attention core, softmax in fp32.
-
-    q, k, v: [B, H, S, Dh].  mask: additive fp32 [B, 1, S, S] or None.
-    Returns [B, H, S, Dh] in q.dtype.  Routed through the fused Pallas
-    kernel on TPU for unmasked (encoder) attention — the XLA path's
-    HBM-materialized [B, H, S, S] tensor is the hot loop's bandwidth
-    bottleneck (see ops.attention).
-    """
-    from mcm_tpu.ops.attention import fused_attention
-    impl = None if precision.attn_impl == "auto" else precision.attn_impl
-    return fused_attention(q, k, v, mask, precision, impl=impl)
-
-
-def _split_heads(x: jax.Array, heads: int) -> jax.Array:
-    b, s, d = x.shape
-    return x.reshape(b, s, heads, d // heads).transpose(0, 2, 1, 3)
-
-
-def _merge_heads(x: jax.Array) -> jax.Array:
-    b, h, s, dh = x.shape
-    return x.transpose(0, 2, 1, 3).reshape(b, s, h * dh)
-
-
 def transformer_block(x: jax.Array, layer: Params, *, heads: int, eps: float,
                       mask: Optional[jax.Array],
                       precision: Precision) -> jax.Array:
@@ -104,7 +79,6 @@ def transformer_block(x: jax.Array, layer: Params, *, heads: int, eps: float,
     q = _dense(h, layer["attn"]["wq"], layer["attn"]["bq"], precision)
     k = _dense(h, layer["attn"]["wk"], layer["attn"]["bk"], precision)
     v = _dense(h, layer["attn"]["wv"], layer["attn"]["bv"], precision)
-    from mcm_tpu.ops.attention import encoder_attention
     a = encoder_attention(q, k, v, heads=heads, mask=mask,
                           precision=precision)
     a = _dense(a, layer["attn"]["wo"], layer["attn"]["bo"], precision)

@@ -177,9 +177,9 @@ def _bsd_attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     (tools/bsd_probe.py) shows the WHOLE softmax costs 0.26 ms of the
     3.19 ms kernel (fully overlapped with the MXU), and both measured
     alternatives — dividing the [blk, S, Dh] output instead of the
-    [S, S] probs (tools/bsd_variants.py) and an all-bf16 softmax — are
-    timing-neutral while losing precision.  The kernel is dots/layout
-    bound at a 2.93 ms no-softmax floor."""
+    [S, S] probs (tools/bsd_probe.py, "deferdiv" row) and an all-bf16
+    softmax — are timing-neutral while losing precision.  The kernel is
+    dots/layout bound at a 2.93 ms no-softmax floor."""
     blk, s, lanes = q_ref.shape
     outs = []
     for j in range(lanes // dh):
@@ -289,14 +289,15 @@ def _flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     return out[:, :, :s] if pad else out
 
 
-def _bsd_block_b(s: int, d: int, b: int = 1 << 30) -> int:
-    """Largest batch block whose per-program VMEM footprint (4 tensors
-    double-buffered + fp32 logits and probs) stays under ~14 MB of the
-    16 MB scoped-vmem limit, clamped to the actual batch: a serving
-    bucket of 1 image would otherwise pad to a 16-wide block and spend
-    16× the attention compute on discarded rows."""
+def _bsd_block_b(s: int, b: int = 1 << 30, itemsize: int = 2) -> int:
+    """Largest batch block whose per-program VMEM footprint (4
+    ``itemsize``-byte [blk, S, 128] tensors double-buffered + fp32 logits
+    and probs) stays under ~14 MB of the 16 MB scoped-vmem limit, clamped
+    to the actual batch: a serving bucket of 1 image would otherwise pad
+    to a 16-wide block and spend 16× the attention compute on discarded
+    rows.  (The footprint is per 128-lane tile, independent of D.)"""
     for blk in (16, 8, 4, 2, 1):
-        est = 4 * blk * s * 128 * 2 * 2 + 2 * blk * s * s * 4
+        est = 4 * blk * s * 128 * itemsize * 2 + 2 * blk * s * s * 4
         if est <= 14 * 1024 * 1024:
             return min(blk, b)
     return 1
@@ -319,17 +320,27 @@ def encoder_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     b, s, d = q.shape
     dh = d // heads
     impl = None if precision.attn_impl == "auto" else precision.attn_impl
-    bsd_ok = (mask is None and d % 128 == 0 and 128 % dh == 0
+    # The kernel needs heads to evenly tile D into lane-sliceable pairs;
+    # d % heads guards a heads count that doesn't divide D, which the
+    # split-heads path would reject with a reshape error but the kernel
+    # would silently compute with fake slice-derived "heads".
+    bsd_shapes_ok = (d % heads == 0 and d % 128 == 0 and 128 % dh == 0)
+    bsd_ok = (mask is None and bsd_shapes_ok
               and jax.default_backend() != "cpu")
-    if impl == "pallas_bsd" or (
+    if impl == "pallas_bsd" and mask is not None:
+        # masked (text-tower) calls fall back to the XLA path, exactly
+        # like every other forced kernel impl below
+        impl = "xla"
+    elif impl == "pallas_bsd" or (
             impl is None and bsd_ok
             and precision.activation_dtype == jnp.bfloat16):
-        if not bsd_ok:
-            raise ValueError("attn_impl=pallas_bsd needs an unmasked "
-                             "TPU call with Dh | 128 and 128 | D; got "
-                             f"mask={mask is not None}, D={d}, Dh={dh}")
-        return _pallas_bsd_attention(q, k, v, heads=heads,
-                                     block_b=_bsd_block_b(s, d, b))
+        if not bsd_shapes_ok:
+            raise ValueError("attn_impl=pallas_bsd needs heads | D, "
+                             "Dh | 128 and 128 | D; got "
+                             f"D={d}, heads={heads}, Dh={dh}")
+        return _pallas_bsd_attention(
+            q, k, v, heads=heads,
+            block_b=_bsd_block_b(s, b, itemsize=q.dtype.itemsize))
 
     def split(x):
         return x.reshape(b, s, heads, dh).transpose(0, 2, 1, 3)

@@ -85,6 +85,37 @@ def test_pallas_bsd_attention_matches_xla(rng, shape, heads, block_b):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_encoder_attention_forced_bsd_mask_falls_back(rng):
+    """Forcing attn_impl="pallas_bsd" must not crash the text tower: a
+    masked call falls back to the XLA path like every other forced
+    kernel (review finding — the text tower always builds a causal
+    mask, so a hard error would kill the whole pipeline)."""
+    from mcm_tpu.ops.attention import encoder_attention
+
+    b, s, d, heads = 2, 16, 128, 2
+    q, k, v = (jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+               for _ in range(3))
+    mask = jnp.zeros((b, 1, s, s), jnp.float32)
+    forced = dataclasses.replace(Precision.parity(), attn_impl="pallas_bsd")
+    got = encoder_attention(q, k, v, heads=heads, mask=mask,
+                            precision=forced)
+    want = encoder_attention(q, k, v, heads=heads, mask=mask,
+                             precision=Precision.parity())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_encoder_attention_forced_bsd_bad_heads_raises(rng):
+    """heads not dividing D must raise instead of silently slicing fake
+    lane-derived "heads" (the split-heads path would reshape-error)."""
+    from mcm_tpu.ops.attention import encoder_attention
+
+    q = k = v = jnp.zeros((2, 16, 128), jnp.float32)
+    forced = dataclasses.replace(Precision.parity(), attn_impl="pallas_bsd")
+    with pytest.raises(ValueError, match="heads"):
+        encoder_attention(q, k, v, heads=48, mask=None, precision=forced)
+
+
 def test_pallas_bsd_on_chip_matches_xla(rng):
     """Real-chip only: the production routing check for the TPU default —
     `encoder_attention` at the B/16 encoder shape in bf16 fast mode
@@ -102,6 +133,14 @@ def test_pallas_bsd_on_chip_matches_xla(rng):
                for _ in range(3))
     fast = Precision.fast()
     assert fast.attn_impl == "auto"
+
+    # guard against a vacuous XLA-vs-XLA pass: the auto route must
+    # actually lower to the Pallas kernel (a tpu_custom_call) on chip
+    auto_fn = jax.jit(lambda a, c, e: encoder_attention(
+        a, c, e, heads=heads, mask=None, precision=fast))
+    assert "tpu_custom_call" in auto_fn.lower(q, k, v).as_text(), \
+        "attn auto-routing no longer reaches pallas_bsd on this backend"
+
     got = encoder_attention(q, k, v, heads=heads, mask=None, precision=fast)
     want = encoder_attention(
         q, k, v, heads=heads, mask=None,
