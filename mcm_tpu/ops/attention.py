@@ -295,8 +295,16 @@ def _bsd_block_b(s: int, b: int = 1 << 30, itemsize: int = 2) -> int:
     and probs) stays under ~14 MB of the 16 MB scoped-vmem limit, clamped
     to the actual batch: a serving bucket of 1 image would otherwise pad
     to a 16-wide block and spend 16× the attention compute on discarded
-    rows.  (The footprint is per 128-lane tile, independent of D.)"""
-    for blk in (16, 8, 4, 2, 1):
+    rows.  (The footprint is per 128-lane tile, independent of D.)
+
+    The ladder includes the non-power-of-two 12 for L/14's S=257, where
+    16 busts the budget (16.9 MB) but 12 fits (12.1 MB) and measures
+    3.24 ms/layer-batch vs block 8's 3.40 on the v5e
+    (tools/bsd_block_probe.py; the edge-pad at B % 12 != 0 is covered by
+    the kernel's cdiv grid).  Blocks above 16 showed no gain at S=50
+    (B/32: 1.62 ms at 32 vs 1.63 at 16) and fail the Mosaic compiler at
+    64+, so 16 stays the top rung."""
+    for blk in (16, 12, 8, 4, 2, 1):
         est = 4 * blk * s * 128 * itemsize * 2 + 2 * blk * s * s * 4
         if est <= 14 * 1024 * 1024:
             return min(blk, b)

@@ -63,7 +63,8 @@ def test_pallas_batched_attention_matches_xla(rng, shape, block_bh):
 @pytest.mark.parametrize("shape,heads,block_b", [((3, 17, 128), 2, 2),
                                                  ((2, 197, 256), 4, 2),
                                                  ((5, 33, 128), 16, 2),
-                                                 ((1, 33, 128), 2, 16)])
+                                                 ((1, 33, 128), 2, 16),
+                                                 ((14, 33, 128), 2, 12)])
 def test_pallas_bsd_attention_matches_xla(rng, shape, heads, block_b):
     """[B,S,D]-native kernel (DMA head gather, in-register lane split),
     incl. odd-B edge-pad cases (3 and 5 images, block 2), sub-64 head
@@ -83,6 +84,21 @@ def test_pallas_bsd_attention_matches_xla(rng, shape, heads, block_b):
         got = _pallas_bsd_attention(q, k, v, heads=heads, block_b=block_b)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_bsd_block_picker_values():
+    """Pin the auto-picked batch blocks at the three production sequence
+    lengths (tools/bsd_block_probe.py, v5e): B/32's S=50 and B/16's
+    S=197 stay at 16; L/14's S=257 takes the non-power-of-two 12 rung
+    (16 busts the ~14 MB VMEM budget, 12 measures 3.24 vs block 8's
+    3.40 ms/layer-batch).  The serving clamp to the actual batch holds."""
+    from mcm_tpu.ops.attention import _bsd_block_b
+
+    assert _bsd_block_b(50) == 16
+    assert _bsd_block_b(197) == 16
+    assert _bsd_block_b(257) == 12
+    assert _bsd_block_b(257, b=5) == 5
+    assert _bsd_block_b(197, b=1) == 1
 
 
 def test_encoder_attention_forced_bsd_mask_falls_back(rng):
