@@ -66,14 +66,14 @@ void emit_message(j_common_ptr cinfo, int msg_level) {
   cinfo->err->num_warnings++;  // keep libjpeg's own bookkeeping intact
 }
 
-// Decode a JPEG file into an RGB buffer. Returns false on any failure.
-// In fast mode, asks libjpeg for the smallest M/8 DCT scale that keeps the
-// shorter side >= out_size; the triangle downfilter finishes the job.
-bool decode_jpeg(const char* path, int out_size, bool fast,
-                 std::vector<unsigned char>& rgb, int& w, int& h) {
-  FILE* f = std::fopen(path, "rb");
-  if (!f) return false;
-
+// Decode a JPEG from either an open file (f != nullptr) or an in-memory
+// buffer (serving path: request bodies never touch the filesystem) into an
+// RGB buffer. Returns false on any failure. In fast mode, asks libjpeg for
+// the smallest M/8 DCT scale that keeps the shorter side >= out_size; the
+// triangle downfilter finishes the job. The caller owns `f`.
+bool decode_jpeg_src(FILE* f, const unsigned char* buf, unsigned long len,
+                     int out_size, bool fast,
+                     std::vector<unsigned char>& rgb, int& w, int& h) {
   jpeg_decompress_struct cinfo;
   ErrMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -83,11 +83,16 @@ bool decode_jpeg(const char* path, int out_size, bool fast,
   jerr.serious_warnings = 0;
   if (setjmp(jerr.jump)) {
     jpeg_destroy_decompress(&cinfo);
-    std::fclose(f);
     return false;
   }
   jpeg_create_decompress(&cinfo);
-  jpeg_stdio_src(&cinfo, f);
+  if (f) {
+    jpeg_stdio_src(&cinfo, f);
+  } else {
+    // libjpeg 9's jpeg_mem_src takes unsigned char* (non-const); the
+    // source manager never writes through it
+    jpeg_mem_src(&cinfo, const_cast<unsigned char*>(buf), len);
+  }
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
 
@@ -126,10 +131,18 @@ bool decode_jpeg(const char* path, int out_size, bool fast,
   // emit_message above: pixels are unaffected and PIL accepts them.
   const long warnings = jerr.serious_warnings;
   jpeg_destroy_decompress(&cinfo);
-  std::fclose(f);
   // JCS_RGB above makes libjpeg do gray->RGB itself, so comps is 3 for
   // every color space it can convert (it error_exits on ones it can't).
   return comps == 3 && warnings == 0;
+}
+
+bool decode_jpeg(const char* path, int out_size, bool fast,
+                 std::vector<unsigned char>& rgb, int& w, int& h) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  const bool ok = decode_jpeg_src(f, nullptr, 0, out_size, fast, rgb, w, h);
+  std::fclose(f);
+  return ok;
 }
 
 // PIL-geometry triangle filter coefficients for in_size -> out_size.
@@ -277,6 +290,22 @@ int mcm_decode_one(const char* path, int size, unsigned char* out, int fast) {
   std::vector<unsigned char> rgb;
   int w = 0, h = 0;
   if (!decode_jpeg(path, size, fast != 0, rgb, w, h)) return 1;
+  if (w < 1 || h < 1) return 2;
+  resize_crop(rgb, w, h, size, out);
+  return 0;
+}
+
+// Decode one in-memory JPEG (e.g. an HTTP request body) to
+// out[size*size*3]. Returns 0 on success.
+int mcm_decode_mem(const unsigned char* data, long len, int size,
+                   unsigned char* out, int fast) {
+  if (!data || len <= 0) return 1;
+  std::vector<unsigned char> rgb;
+  int w = 0, h = 0;
+  if (!decode_jpeg_src(nullptr, data, static_cast<unsigned long>(len), size,
+                       fast != 0, rgb, w, h)) {
+    return 1;
+  }
   if (w < 1 || h < 1) return 2;
   resize_crop(rgb, w, h, size, out);
   return 0;

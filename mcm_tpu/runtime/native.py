@@ -131,6 +131,14 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int)]
+        # hasattr, not direct access: a prebuilt .so from before the
+        # serving path shipped without decoder.cpp predates this symbol —
+        # the batch path must keep working, mem decode falls back to PIL
+        if hasattr(lib, "mcm_decode_mem"):
+            lib.mcm_decode_mem.restype = ctypes.c_int
+            lib.mcm_decode_mem.argtypes = [
+                ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -148,6 +156,21 @@ def decode_one(path: str, size: int = 224,
     out = np.empty((size, size, 3), dtype=np.uint8)
     rc = lib.mcm_decode_one(
         os.fsencode(path), size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), int(fast))
+    return out if rc == 0 else None
+
+
+def decode_one_mem(data: bytes, size: int = 224,
+                   fast: bool = False) -> Optional[np.ndarray]:
+    """Decode one in-memory JPEG (serving request body) → uint8
+    [size, size, 3], or None if the native path can't decode it (caller
+    falls back to PIL, which also covers non-JPEG formats)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "mcm_decode_mem"):
+        return None
+    out = np.empty((size, size, 3), dtype=np.uint8)
+    rc = lib.mcm_decode_mem(
+        data, len(data), size,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), int(fast))
     return out if rc == 0 else None
 

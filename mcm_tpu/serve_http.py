@@ -1,0 +1,436 @@
+"""HTTP serving frontend: a deployable server around :class:`OODDetector`.
+
+`mcm_tpu.serve` provides the in-process serving primitives (a long-lived
+detector with compiled batch buckets, and a :class:`MicroBatcher` that
+coalesces concurrent requests into device-sized batches).  This module is
+the network shape of the same capability — the piece a production
+deployment actually runs (the reference is an offline evaluator,
+``/root/reference/eval_ood_detection.py``; it has no serving story at
+all):
+
+* stdlib-only threaded HTTP server (one thread per connection, which is
+  exactly the concurrency shape ``MicroBatcher`` coalesces best);
+* request bodies decode through the native C++ JPEG path without touching
+  the filesystem (``runtime.native.decode_one_mem`` — libjpeg
+  ``jpeg_mem_src``), with the PIL fallback covering non-JPEG formats and
+  files the strict native decoder refuses;
+* per-request scores come back through the batcher's futures, so a burst
+  of N single-image clients costs ~1 device batch, not N;
+* ``/metrics`` exposes Prometheus-style counters (requests, images,
+  batches, coalescing ratio, latency quantiles) for fleet observability.
+
+Endpoints
+---------
+
+``POST /v1/score``
+    Body either a single image (``Content-Type: image/jpeg`` or any
+    non-JSON type — format sniffed by the decoders) or a JSON batch
+    ``{"images_b64": ["...", ...]}``.  Response JSON:
+    ``{"scores": [...], "is_id": [...]}`` (``is_id`` present once a
+    threshold is set; scores follow the evaluator's lower = more ID
+    convention).
+``GET /healthz``
+    Liveness + model identity (the listener only binds after the detector
+    finished building — weights loaded, prompts encoded, buckets
+    compiled — so reaching it at all implies readiness).
+``GET /metrics``
+    Prometheus text format.
+
+Run: ``python -m mcm_tpu.serve_http --in_dataset ImageNet10
+--clip_ckpt ViT-B/16 --port 8000`` (or ``--classnames-file`` for custom
+label sets; ``--threshold`` / ``--calibrate-dir`` to enable ``is_id``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import binascii
+import io
+import json
+import logging
+import threading
+import time
+from collections import deque
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional, Sequence
+
+import numpy as np
+
+from mcm_tpu.serve import MicroBatcher, OODDetector, Overloaded
+
+log = logging.getLogger("mcm_tpu.serve_http")
+
+#: reject absurd request bodies before reading them into memory
+MAX_BODY_BYTES = 64 * 1024 * 1024
+
+
+def decode_image_bytes(data: bytes, size: int = 224) -> np.ndarray:
+    """Request bytes → preprocessed uint8 [size, size, 3] (resize shorter
+    side + center crop, the evaluator's transform).  Native C++ decode
+    first (no temp files), PIL fallback (non-JPEG formats, files the
+    strict native decoder refuses).  Raises ValueError if neither can."""
+    from mcm_tpu.runtime import native
+
+    out = native.decode_one_mem(data, size)
+    if out is not None:
+        return out
+    try:
+        from PIL import Image
+
+        from mcm_tpu.data.transforms import preprocess_uint8
+        with Image.open(io.BytesIO(data)) as img:
+            return preprocess_uint8(img, size)
+    except Exception as e:  # noqa: BLE001 — surface as a client error
+        raise ValueError(f"undecodable image ({type(e).__name__}: {e})")
+
+
+class ServeMetrics:
+    """Thread-safe counters + a bounded latency window for /metrics."""
+
+    def __init__(self, window: int = 2048):
+        self._lock = threading.Lock()
+        self.requests = {}          # (endpoint, status) -> count
+        self.images = 0
+        self.decode_failures = 0
+        self.overloaded = 0
+        self._latency = deque(maxlen=window)  # seconds, /v1/score only
+        self.started = time.time()
+
+    def record(self, endpoint: str, status: int, images: int = 0,
+               latency_s: Optional[float] = None,
+               decode_failure: bool = False) -> None:
+        with self._lock:
+            key = (endpoint, status)
+            self.requests[key] = self.requests.get(key, 0) + 1
+            self.images += images
+            if status == 503:
+                self.overloaded += 1
+            if decode_failure:
+                self.decode_failures += 1
+            if latency_s is not None:
+                self._latency.append(latency_s)
+
+    def render(self, batcher: Optional[MicroBatcher]) -> str:
+        """Prometheus text exposition format."""
+        with self._lock:
+            lines = [
+                "# TYPE mcm_requests_total counter",
+            ]
+            for (endpoint, status), n in sorted(self.requests.items()):
+                lines.append(f'mcm_requests_total{{endpoint="{endpoint}",'
+                             f'status="{status}"}} {n}')
+            lines += [
+                "# TYPE mcm_images_total counter",
+                f"mcm_images_total {self.images}",
+                "# TYPE mcm_decode_failures_total counter",
+                f"mcm_decode_failures_total {self.decode_failures}",
+                "# TYPE mcm_overloaded_total counter",
+                f"mcm_overloaded_total {self.overloaded}",
+                "# TYPE mcm_uptime_seconds gauge",
+                f"mcm_uptime_seconds {time.time() - self.started:.1f}",
+            ]
+            lat = sorted(self._latency)
+        if batcher is not None:
+            lines += [
+                "# TYPE mcm_device_batches_total counter",
+                f"mcm_device_batches_total {batcher.n_batches}",
+                "# TYPE mcm_device_images_total counter",
+                f"mcm_device_images_total {batcher.n_images}",
+                "# TYPE mcm_coalescing_ratio gauge",
+                f"mcm_coalescing_ratio "
+                f"{batcher.n_images / max(1, batcher.n_batches):.3f}",
+            ]
+        if lat:
+            def q(p: float) -> float:
+                return lat[min(len(lat) - 1, int(p * len(lat)))]
+            lines += [
+                "# TYPE mcm_score_latency_seconds summary",
+                f'mcm_score_latency_seconds{{quantile="0.5"}} {q(0.5):.6f}',
+                f'mcm_score_latency_seconds{{quantile="0.99"}} {q(0.99):.6f}',
+                f"mcm_score_latency_seconds_count {len(lat)}",
+                f"mcm_score_latency_seconds_sum {sum(lat):.6f}",
+            ]
+        return "\n".join(lines) + "\n"
+
+
+class OODServer:
+    """Own one detector + batcher + HTTP listener.
+
+    ``port=0`` binds an ephemeral port (tests); read it back from
+    ``server.port``.  Use as a context manager, or ``start()`` /
+    ``close()`` explicitly.  ``serve_forever()`` blocks (the CLI shape).
+    """
+
+    def __init__(self, detector: OODDetector, host: str = "0.0.0.0",
+                 port: int = 8000, max_wait_ms: float = 5.0,
+                 max_pending: Optional[int] = 4096,
+                 max_body_bytes: int = MAX_BODY_BYTES):
+        self.detector = detector
+        self.batcher = MicroBatcher(detector, max_wait_ms=max_wait_ms,
+                                    max_pending=max_pending)
+        self.metrics = ServeMetrics()
+        self.max_body_bytes = max_body_bytes
+        handler = _make_handler(self)
+        self._httpd = ThreadingHTTPServer((host, port), handler)
+        self._httpd.daemon_threads = True
+        self._thread: Optional[threading.Thread] = None
+        self._closed = False
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def start(self) -> "OODServer":
+        """Serve in a background thread (tests / embedding)."""
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        name="mcm-http", daemon=True)
+        self._thread.start()
+        return self
+
+    def serve_forever(self) -> None:
+        """Serve on the calling thread until interrupted (the CLI shape)."""
+        try:
+            self._httpd.serve_forever()
+        finally:
+            self.close()
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        self._closed = True
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join()
+        self.batcher.close()
+
+    def __enter__(self) -> "OODServer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+def _make_handler(server: OODServer):
+    detector = server.detector
+    batcher = server.batcher
+    metrics = server.metrics
+
+    class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 keep-alive: clients reuse connections between requests
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # noqa: N802 — stdlib name
+            log.debug("%s %s", self.address_string(), fmt % args)
+
+        # -- plumbing -----------------------------------------------------
+
+        def _reply(self, status: int, payload, endpoint: str,
+                   images: int = 0, latency_s: Optional[float] = None,
+                   decode_failure: bool = False,
+                   content_type: str = "application/json") -> None:
+            body = (payload if isinstance(payload, bytes)
+                    else json.dumps(payload).encode())
+            # record BEFORE writing: the moment the body hits the wire a
+            # client can issue a follow-up /metrics that must already see
+            # this request counted
+            metrics.record(endpoint, status, images=images,
+                           latency_s=latency_s,
+                           decode_failure=decode_failure)
+            self.send_response(status)
+            self.send_header("Content-Type", content_type)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _read_body(self) -> Optional[bytes]:
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+            except ValueError:
+                n = -1
+            if n < 0 or n > server.max_body_bytes:
+                self._reply(413, {"error": f"body must be 0 < length <= "
+                                           f"{server.max_body_bytes} bytes"},
+                            "/v1/score")
+                return None
+            return self.rfile.read(n)
+
+        # -- endpoints ----------------------------------------------------
+
+        def do_GET(self):  # noqa: N802 — stdlib name
+            if self.path == "/healthz":
+                self._reply(200, {
+                    "status": "ok",
+                    "model": detector.cfg.clip_ckpt,
+                    "score": detector.cfg.score,
+                    "image_size": detector.image_size,
+                    "batch_buckets": list(detector.batch_sizes),
+                    "threshold": detector.threshold,
+                }, "/healthz")
+            elif self.path == "/metrics":
+                self._reply(200, metrics.render(batcher).encode(),
+                            "/metrics",
+                            content_type="text/plain; version=0.0.4")
+            else:
+                self._reply(404, {"error": f"no such path {self.path}"},
+                            self.path)
+
+        def do_POST(self):  # noqa: N802 — stdlib name
+            if self.path != "/v1/score":
+                self._reply(404, {"error": f"no such path {self.path}"},
+                            self.path)
+                return
+            body = self._read_body()
+            if body is None:
+                return
+            t0 = time.monotonic()
+            ctype = (self.headers.get("Content-Type") or "").split(";")[0]
+            try:
+                if ctype == "application/json":
+                    images = self._decode_json_batch(body)
+                else:
+                    images = [decode_image_bytes(body, detector.image_size)]
+            except ValueError as e:
+                self._reply(400, {"error": str(e)}, "/v1/score",
+                            decode_failure=True)
+                return
+            if not images:
+                self._reply(400, {"error": "no images in request"},
+                            "/v1/score")
+                return
+            try:
+                futures = [batcher.submit(img) for img in images]
+                scores = [float(f.result()) for f in futures]
+            except Overloaded as e:
+                self._reply(503, {"error": str(e)}, "/v1/score")
+                return
+            except RuntimeError as e:
+                # batcher closed mid-shutdown
+                self._reply(503, {"error": str(e)}, "/v1/score")
+                return
+            out = {"scores": scores}
+            if detector.threshold is not None:
+                out["threshold"] = detector.threshold
+                out["is_id"] = [s <= detector.threshold for s in scores]
+            self._reply(200, out, "/v1/score", images=len(scores),
+                        latency_s=time.monotonic() - t0)
+
+        def _decode_json_batch(self, body: bytes) -> Sequence[np.ndarray]:
+            try:
+                payload = json.loads(body)
+            except json.JSONDecodeError as e:
+                raise ValueError(f"bad JSON: {e}")
+            if (not isinstance(payload, dict)
+                    or not isinstance(payload.get("images_b64"), list)):
+                raise ValueError('JSON body must be {"images_b64": [...]}')
+            images = []
+            for i, b64 in enumerate(payload["images_b64"]):
+                try:
+                    raw = base64.b64decode(b64, validate=True)
+                except (binascii.Error, TypeError):
+                    raise ValueError(f"images_b64[{i}] is not valid base64")
+                images.append(decode_image_bytes(raw, detector.image_size))
+            return images
+
+    return Handler
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+def _load_class_names(args) -> Sequence[str]:
+    if args.classnames_file:
+        with open(args.classnames_file) as f:
+            names = [ln.strip() for ln in f if ln.strip()]
+        if not names:
+            raise SystemExit(f"{args.classnames_file} contains no names")
+        return names
+    from mcm_tpu.data.labels import get_test_labels
+    try:
+        return list(get_test_labels(args.in_dataset))
+    except ValueError as e:
+        raise SystemExit(
+            f"{e}; fine-grained datasets derive names from their metadata "
+            f"files — pass --classnames-file instead")
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    p = argparse.ArgumentParser(
+        description="Serve zero-shot OOD detection over HTTP")
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--in_dataset", help="ID dataset whose class list to "
+                   "serve (ImageNet/ImageNet10/20/100)")
+    g.add_argument("--classnames-file", help="file with one class name "
+                   "per line (custom label sets)")
+    p.add_argument("--clip_ckpt", default="ViT-B/16")
+    p.add_argument("--score", default="MCM",
+                   choices=["MCM", "energy", "max-logit", "entropy", "var"])
+    p.add_argument("--T", type=float, default=1.0)
+    p.add_argument("--ckpt-dir", default=None,
+                   help="converted checkpoint dir (MCM_TPU_CKPT_DIR also "
+                        "honored)")
+    p.add_argument("--template_ensemble", action="store_true")
+    p.add_argument("--allow-random-weights", action="store_true",
+                   help="smoke-test without a checkpoint (scores are "
+                        "meaningless)")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--batch-buckets", default="1,8,64,512",
+                   help="comma-separated compiled batch shapes")
+    p.add_argument("--max-wait-ms", type=float, default=5.0,
+                   help="microbatch coalescing window")
+    p.add_argument("--max-pending", type=int, default=4096,
+                   help="load-shed bound on queued requests")
+    p.add_argument("--threshold", type=float, default=None,
+                   help="ID/OOD decision threshold (enables is_id)")
+    p.add_argument("--calibrate-dir", default=None,
+                   help="directory tree of held-out ID images; scored at "
+                        "startup to set the threshold at --calibrate-tpr")
+    p.add_argument("--calibrate-tpr", type=float, default=0.95)
+    p.add_argument("--maha-templates", default=None,
+                   help="Mahalanobis template cache (npz from the "
+                        "evaluator's --template_dir, or the reference's "
+                        "*_classwise_mean_*.pt)")
+    args = p.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(message)s")
+    class_names = _load_class_names(args)
+    log.info("building detector: %s, %d classes, score=%s",
+             args.clip_ckpt, len(class_names), args.score)
+    detector = OODDetector(
+        class_names=class_names, clip_ckpt=args.clip_ckpt,
+        score=args.score, T=args.T, ckpt_dir=args.ckpt_dir,
+        template_ensemble=args.template_ensemble,
+        allow_random_weights=args.allow_random_weights,
+        batch_sizes=tuple(int(b) for b in args.batch_buckets.split(",")))
+    if args.maha_templates:
+        detector.load_maha_templates(args.maha_templates)
+    if args.threshold is not None:
+        detector.threshold = args.threshold
+    elif args.calibrate_dir:
+        import glob
+        import os
+        paths = sorted(
+            p for p in glob.glob(os.path.join(args.calibrate_dir, "**", "*"),
+                                 recursive=True) if os.path.isfile(p))
+        if not paths:
+            raise SystemExit(f"--calibrate-dir {args.calibrate_dir} holds "
+                             f"no files")
+        log.info("calibrating on %d held-out ID images", len(paths))
+        thr = detector.calibrate(detector.score_files(paths),
+                                 tpr=args.calibrate_tpr)
+        log.info("threshold @ TPR %.2f = %.6f", args.calibrate_tpr, thr)
+
+    server = OODServer(detector, host=args.host, port=args.port,
+                       max_wait_ms=args.max_wait_ms,
+                       max_pending=args.max_pending)
+    log.info("serving on %s:%d (buckets %s)", args.host, server.port,
+             detector.batch_sizes)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,234 @@
+"""HTTP serving frontend (mcm_tpu.serve_http): request decode, scoring
+through the MicroBatcher, thresholding, metrics, and error paths."""
+
+import base64
+import http.client
+import io
+import json
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def detector():
+    from mcm_tpu.serve import OODDetector
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        return OODDetector(class_names=["cat", "dog", "owl"],
+                           allow_random_weights=True,
+                           batch_sizes=(1, 4), n_devices=1)
+
+
+@pytest.fixture(scope="module")
+def server(detector):
+    from mcm_tpu.serve_http import OODServer
+    with OODServer(detector, host="127.0.0.1", port=0,
+                   max_wait_ms=2.0) as srv:
+        yield srv.start()
+
+
+def _request(server, method, path, body=None, ctype="image/jpeg"):
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=60)
+    try:
+        headers = {"Content-Type": ctype} if body is not None else {}
+        conn.request(method, path, body=body, headers=headers)
+        resp = conn.getresponse()
+        return resp.status, resp.read(), dict(resp.getheaders())
+    finally:
+        conn.close()
+
+
+def _jpeg_bytes(rng, w=260, h=300, quality=92):
+    from PIL import Image
+    img = Image.fromarray(
+        rng.integers(0, 256, (h, w, 3), dtype=np.uint8), "RGB")
+    buf = io.BytesIO()
+    img.save(buf, "JPEG", quality=quality)
+    return buf.getvalue()
+
+
+def test_decode_image_bytes_matches_file_pipeline(tmp_path):
+    """The request-body decode path must equal the offline file path
+    (native mem decode == native file decode; PIL fallback == PIL)."""
+    from mcm_tpu.data.transforms import load_image_uint8
+    from mcm_tpu.runtime import native
+    from mcm_tpu.serve_http import decode_image_bytes
+
+    data = _jpeg_bytes(np.random.default_rng(0))
+    p = tmp_path / "img.jpg"
+    p.write_bytes(data)
+
+    via_bytes = decode_image_bytes(data)
+    if native.native_available():
+        via_file = native.decode_one(str(p))
+        assert np.array_equal(via_bytes, via_file)
+    else:
+        assert np.array_equal(via_bytes, load_image_uint8(str(p)))
+
+    # non-JPEG formats ride the PIL fallback
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(np.zeros((64, 64, 3), np.uint8)).save(buf, "PNG")
+    png = decode_image_bytes(buf.getvalue())
+    assert png.shape == (224, 224, 3)
+
+    with pytest.raises(ValueError):
+        decode_image_bytes(b"definitely not an image")
+
+
+def test_score_single_jpeg_matches_detector(server, detector):
+    data = _jpeg_bytes(np.random.default_rng(1))
+    status, body, _ = _request(server, "POST", "/v1/score", data)
+    assert status == 200
+    out = json.loads(body)
+    assert len(out["scores"]) == 1
+
+    from mcm_tpu.serve_http import decode_image_bytes
+    direct = detector.score_images(decode_image_bytes(data)[None])
+    np.testing.assert_allclose(out["scores"], direct, rtol=1e-5, atol=1e-6)
+
+
+def test_score_json_batch(server, detector):
+    rng = np.random.default_rng(2)
+    blobs = [_jpeg_bytes(rng, w=230 + 10 * i) for i in range(3)]
+    payload = json.dumps(
+        {"images_b64": [base64.b64encode(b).decode() for b in blobs]})
+    status, body, _ = _request(server, "POST", "/v1/score", payload,
+                               ctype="application/json")
+    assert status == 200
+    out = json.loads(body)
+    assert len(out["scores"]) == 3
+
+    from mcm_tpu.serve_http import decode_image_bytes
+    imgs = np.stack([decode_image_bytes(b) for b in blobs])
+    # the batcher may coalesce into a different compiled bucket than the
+    # direct path picks (bf16 tiling differences) — compare loosely
+    np.testing.assert_allclose(out["scores"], detector.score_images(imgs),
+                               rtol=5e-3, atol=5e-4)
+
+
+def test_is_id_appears_once_calibrated(server, detector):
+    data = _jpeg_bytes(np.random.default_rng(3))
+    old = detector.threshold
+    try:
+        detector.threshold = 0.0  # MCM scores are < 0 → everything ID
+        status, body, _ = _request(server, "POST", "/v1/score", data)
+        out = json.loads(body)
+        assert status == 200
+        assert out["threshold"] == 0.0 and out["is_id"] == [True]
+
+        detector.threshold = -2.0  # below the score range → everything OOD
+        status, body, _ = _request(server, "POST", "/v1/score", data)
+        assert json.loads(body)["is_id"] == [False]
+    finally:
+        detector.threshold = old
+
+
+def test_healthz_and_metrics(server):
+    status, body, _ = _request(server, "GET", "/healthz")
+    assert status == 200
+    health = json.loads(body)
+    assert health["status"] == "ok"
+    assert health["model"] == "ViT-B/16"
+    assert health["batch_buckets"] == [1, 4]
+
+    # drive one scored request so counters are non-trivial
+    _request(server, "POST", "/v1/score",
+             _jpeg_bytes(np.random.default_rng(4)))
+    status, body, headers = _request(server, "GET", "/metrics")
+    assert status == 200
+    text = body.decode()
+    assert headers["Content-Type"].startswith("text/plain")
+    assert 'mcm_requests_total{endpoint="/v1/score",status="200"}' in text
+    assert "mcm_images_total" in text
+    assert "mcm_coalescing_ratio" in text
+    assert "mcm_score_latency_seconds_count" in text
+
+
+def test_error_paths(server):
+    # unknown path
+    status, body, _ = _request(server, "GET", "/nope")
+    assert status == 404
+    status, body, _ = _request(server, "POST", "/nope", b"x")
+    assert status == 404
+
+    # undecodable single image
+    status, body, _ = _request(server, "POST", "/v1/score", b"garbage")
+    assert status == 400
+    assert "undecodable" in json.loads(body)["error"]
+
+    # malformed JSON / wrong schema / bad base64
+    for payload in (b"{not json", b'{"images": []}',
+                    b'{"images_b64": ["!!!not-b64!!!"]}'):
+        status, body, _ = _request(server, "POST", "/v1/score", payload,
+                                   ctype="application/json")
+        assert status == 400, payload
+
+    # empty batch
+    status, body, _ = _request(server, "POST", "/v1/score",
+                               b'{"images_b64": []}',
+                               ctype="application/json")
+    assert status == 400
+
+
+def test_body_size_limit(detector):
+    from mcm_tpu.serve_http import OODServer
+    with OODServer(detector, host="127.0.0.1", port=0,
+                   max_body_bytes=1024) as srv:
+        srv.start()
+        status, body, _ = _request(srv, "POST", "/v1/score", b"x" * 2048)
+        assert status == 413
+
+
+def test_overload_sheds_with_503(detector):
+    from mcm_tpu.serve_http import OODServer
+    with OODServer(detector, host="127.0.0.1", port=0,
+                   max_pending=0) as srv:   # zero headroom → always shed
+        srv.start()
+        data = _jpeg_bytes(np.random.default_rng(5))
+        status, body, _ = _request(srv, "POST", "/v1/score", data)
+        assert status == 503
+        status, body, _ = _request(srv, "GET", "/metrics")
+        assert "mcm_overloaded_total 1" in body.decode()
+
+
+def test_concurrent_clients_coalesce(server, detector):
+    """N parallel single-image clients should land in fewer device
+    batches than N (the MicroBatcher's whole point)."""
+    from concurrent.futures import ThreadPoolExecutor
+    rng = np.random.default_rng(6)
+    blobs = [_jpeg_bytes(rng, w=240 + i) for i in range(8)]
+    before = server.batcher.n_batches
+    with ThreadPoolExecutor(8) as pool:
+        results = list(pool.map(
+            lambda b: _request(server, "POST", "/v1/score", b), blobs))
+    assert all(status == 200 for status, _, _ in results)
+    used = server.batcher.n_batches - before
+    assert used < len(blobs), f"no coalescing: {used} batches for 8 reqs"
+
+
+def test_cli_classnames_file(tmp_path):
+    """--classnames-file parsing (no server start)."""
+    from mcm_tpu.serve_http import _load_class_names
+
+    f = tmp_path / "names.txt"
+    f.write_text("alpha\n\nbeta\n  gamma  \n")
+
+    class A:
+        classnames_file = str(f)
+        in_dataset = None
+    assert _load_class_names(A()) == ["alpha", "beta", "gamma"]
+
+    class B:
+        classnames_file = None
+        in_dataset = "ImageNet10"
+    names = _load_class_names(B())
+    assert len(names) == 10
+
+    class C:
+        classnames_file = None
+        in_dataset = "pet37"  # needs dataset metadata → helpful error
+    with pytest.raises(SystemExit, match="classnames-file"):
+        _load_class_names(C())
