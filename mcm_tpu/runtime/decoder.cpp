@@ -281,6 +281,29 @@ void resize_crop(const std::vector<unsigned char>& src, int w, int h,
   }
 }
 
+// Shared thread-pool driver for the extern-C batch entry points below
+// (defined here: templates cannot carry C language linkage).
+template <typename DecodeOne>
+int run_pool(int n, int n_threads, int* status, DecodeOne decode_one) {
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> next(0), failures(0);
+  auto worker = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) return;
+      const int rc = decode_one(i);
+      status[i] = rc;
+      if (rc != 0) failures.fetch_add(1);
+    }
+  };
+  std::vector<std::thread> pool;
+  const int k = std::min(n_threads, n);
+  pool.reserve(k);
+  for (int t = 0; t < k; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return failures.load();
+}
+
 }  // namespace
 
 extern "C" {
@@ -315,25 +338,24 @@ int mcm_decode_mem(const unsigned char* data, long len, int size,
 // status[i] = per-image return code. Returns count of failures.
 int mcm_decode_batch(const char** paths, int n, int size, unsigned char* out,
                      int n_threads, int fast, int* status) {
-  if (n_threads < 1) n_threads = 1;
-  std::atomic<int> next(0), failures(0);
-  auto worker = [&]() {
-    for (;;) {
-      const int i = next.fetch_add(1);
-      if (i >= n) return;
-      const int rc = mcm_decode_one(
-          paths[i], size, out + static_cast<size_t>(i) * size * size * 3,
-          fast);
-      status[i] = rc;
-      if (rc != 0) failures.fetch_add(1);
-    }
-  };
-  std::vector<std::thread> pool;
-  const int k = std::min(n_threads, n);
-  pool.reserve(k);
-  for (int t = 0; t < k; ++t) pool.emplace_back(worker);
-  for (auto& th : pool) th.join();
-  return failures.load();
+  return run_pool(n, n_threads, status, [&](int i) {
+    return mcm_decode_one(
+        paths[i], size, out + static_cast<size_t>(i) * size * size * 3,
+        fast);
+  });
+}
+
+// Decode n in-memory JPEGs (serving bulk requests) with a thread pool.
+// datas[i]/lens[i] describe each buffer; same out/status contract as
+// mcm_decode_batch.
+int mcm_decode_mem_batch(const unsigned char** datas, const long* lens,
+                         int n, int size, unsigned char* out, int n_threads,
+                         int fast, int* status) {
+  return run_pool(n, n_threads, status, [&](int i) {
+    return mcm_decode_mem(
+        datas[i], lens[i], size,
+        out + static_cast<size_t>(i) * size * size * 3, fast);
+  });
 }
 
 }  // extern "C"

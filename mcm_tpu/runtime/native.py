@@ -139,6 +139,13 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.mcm_decode_mem.argtypes = [
                 ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int]
+        if hasattr(lib, "mcm_decode_mem_batch"):
+            lib.mcm_decode_mem_batch.restype = ctypes.c_int
+            lib.mcm_decode_mem_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.POINTER(ctypes.c_long), ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int)]
         _lib = lib
         return _lib
 
@@ -173,6 +180,31 @@ def decode_one_mem(data: bytes, size: int = 224,
         data, len(data), size,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), int(fast))
     return out if rc == 0 else None
+
+
+def decode_mem_batch(datas: Sequence[bytes], size: int = 224,
+                     n_threads: int = 0, fast: bool = False
+                     ) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
+    """Threaded in-memory variant of :func:`decode_batch` (serving bulk
+    requests): (uint8 [N, size, size, 3], status [N]) — status≠0 rows
+    failed and must be re-decoded by the PIL fallback.  (None, None)
+    when the native library (or the symbol, on a prebuilt .so) is
+    unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "mcm_decode_mem_batch"):
+        return None, None
+    n = len(datas)
+    out = np.empty((n, size, size, 3), dtype=np.uint8)
+    status = np.zeros((n,), dtype=np.int32)
+    arr = (ctypes.c_char_p * n)(*datas)
+    lens = (ctypes.c_long * n)(*[len(d) for d in datas])
+    n_threads = n_threads or min(32, os.cpu_count() or 4)
+    lib.mcm_decode_mem_batch(
+        arr, lens, n, size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        n_threads, int(fast),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    return out, status
 
 
 def decode_batch(paths: Sequence[str], size: int = 224,

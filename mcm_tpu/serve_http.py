@@ -85,6 +85,29 @@ def decode_image_bytes(data: bytes, size: int = 224) -> np.ndarray:
         raise ValueError(f"undecodable image ({type(e).__name__}: {e})")
 
 
+def decode_images_bulk(datas: Sequence[bytes],
+                       size: int = 224) -> Sequence[np.ndarray]:
+    """Decode a bulk request through the GIL-free native thread pool
+    (``mcm_decode_mem_batch``), falling back per failed row — same
+    success/failure semantics as mapping :func:`decode_image_bytes`, but
+    the JPEG majority decodes in parallel C++ threads instead of
+    serially under the GIL.  Raises ValueError naming the first
+    undecodable row."""
+    from mcm_tpu.runtime import native
+
+    batch, status = native.decode_mem_batch(datas, size)
+    images = []
+    for i, data in enumerate(datas):
+        if batch is not None and status[i] == 0:
+            images.append(batch[i])
+            continue
+        try:
+            images.append(decode_image_bytes(data, size))
+        except ValueError as e:
+            raise ValueError(f"images_b64[{i}]: {e}")
+    return images
+
+
 class ServeMetrics:
     """Thread-safe counters + a bounded latency window for /metrics."""
 
@@ -176,6 +199,8 @@ class OODServer:
         self._httpd.daemon_threads = True
         self._thread: Optional[threading.Thread] = None
         self._closed = False
+        self._close_lock = threading.Lock()
+        self._close_done = threading.Event()
 
     @property
     def port(self) -> int:
@@ -196,14 +221,26 @@ class OODServer:
             self.close()
 
     def close(self) -> None:
-        if self._closed:
-            return
-        self._closed = True
-        self._httpd.shutdown()
-        self._httpd.server_close()
-        if self._thread is not None:
-            self._thread.join()
-        self.batcher.close()
+        """Stop accepting, then drain in-flight requests (idempotent;
+        callable from any thread, including a signal-spawned one while
+        ``serve_forever`` blocks the main thread)."""
+        with self._close_lock:
+            if self._closed:
+                # someone else is (or finished) closing — wait so no
+                # caller returns while the drain is still in progress
+                # (e.g. main exiting serve_forever while the
+                # signal-spawned closer is mid-drain)
+                self._close_done.wait()
+                return
+            self._closed = True
+        try:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            if self._thread is not None:
+                self._thread.join()
+            self.batcher.close()
+        finally:
+            self._close_done.set()
 
     def __enter__(self) -> "OODServer":
         return self
@@ -324,14 +361,13 @@ def _make_handler(server: OODServer):
             if (not isinstance(payload, dict)
                     or not isinstance(payload.get("images_b64"), list)):
                 raise ValueError('JSON body must be {"images_b64": [...]}')
-            images = []
+            raws = []
             for i, b64 in enumerate(payload["images_b64"]):
                 try:
-                    raw = base64.b64decode(b64, validate=True)
+                    raws.append(base64.b64decode(b64, validate=True))
                 except (binascii.Error, TypeError):
                     raise ValueError(f"images_b64[{i}] is not valid base64")
-                images.append(decode_image_bytes(raw, detector.image_size))
-            return images
+            return decode_images_bulk(raws, detector.image_size)
 
     return Handler
 
@@ -427,9 +463,25 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     server = OODServer(detector, host=args.host, port=args.port,
                        max_wait_ms=args.max_wait_ms,
                        max_pending=args.max_pending)
+
+    # graceful drain: stop accepting, finish in-flight requests, then
+    # exit — a SIGTERM'd replica must not drop scores it already owes.
+    # close() runs on a helper thread because the signal handler executes
+    # on the main thread, which is blocked inside serve_forever (shutdown
+    # from the same thread would deadlock).
+    import signal
+
+    def _graceful(signum, frame):
+        log.info("signal %d: draining and shutting down", signum)
+        threading.Thread(target=server.close, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _graceful)
+    signal.signal(signal.SIGINT, _graceful)
+
     log.info("serving on %s:%d (buckets %s)", args.host, server.port,
              detector.batch_sizes)
     server.serve_forever()
+    log.info("shutdown complete")
 
 
 if __name__ == "__main__":

@@ -5,6 +5,7 @@ import base64
 import http.client
 import io
 import json
+import os
 
 import numpy as np
 import pytest
@@ -207,6 +208,97 @@ def test_concurrent_clients_coalesce(server, detector):
     assert all(status == 200 for status, _, _ in results)
     used = server.batcher.n_batches - before
     assert used < len(blobs), f"no coalescing: {used} batches for 8 reqs"
+
+
+def test_decode_images_bulk_pool_and_fallback(tmp_path):
+    """The bulk path (native thread-pool mem decode) must match the
+    per-image path row for row, fall back per failed row, and name the
+    first undecodable row."""
+    from mcm_tpu.serve_http import decode_image_bytes, decode_images_bulk
+
+    rng = np.random.default_rng(8)
+    blobs = [_jpeg_bytes(rng, w=250 + 7 * i) for i in range(4)]
+    # a PNG exercises the per-row PIL fallback inside an otherwise
+    # native-decoded batch
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(rng.integers(0, 256, (80, 90, 3), dtype=np.uint8)
+                    ).save(buf, "PNG")
+    blobs.append(buf.getvalue())
+
+    bulk = decode_images_bulk(blobs)
+    for got, data in zip(bulk, blobs):
+        assert np.array_equal(got, decode_image_bytes(data))
+
+    with pytest.raises(ValueError, match=r"images_b64\[1\]"):
+        decode_images_bulk([blobs[0], b"junk", blobs[2]])
+
+
+def test_native_decode_mem_batch_matches_single():
+    from mcm_tpu.runtime import native
+    if not native.native_available():
+        pytest.skip("native decoder unavailable")
+    rng = np.random.default_rng(9)
+    blobs = [_jpeg_bytes(rng, w=300, h=240 + 16 * i) for i in range(3)]
+    blobs.insert(1, b"not a jpeg")
+    batch, status = native.decode_mem_batch(blobs, n_threads=2)
+    if batch is None:
+        pytest.skip("prebuilt library without mcm_decode_mem_batch")
+    assert list(status != 0) == [False, True, False, False]
+    for i, data in enumerate(blobs):
+        if status[i] == 0:
+            assert np.array_equal(batch[i], native.decode_one_mem(data))
+
+
+def test_sigterm_drains_and_exits(tmp_path):
+    """The CLI server must exit 0 on SIGTERM after draining (a killed
+    replica must not drop in-flight scores)."""
+    import signal
+    import socket
+    import subprocess
+    import sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    names = tmp_path / "names.txt"
+    names.write_text("cat\ndog\n")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo,
+               MCM_TPU_TEST_TINY_B16="1")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "mcm_tpu.serve_http",
+         "--classnames-file", str(names), "--allow-random-weights",
+         "--host", "127.0.0.1", "--port", str(port),
+         "--batch-buckets", "1,4"],
+        env=env, cwd=repo, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True)
+    try:
+        deadline = time.monotonic() + 120
+        up = False
+        while time.monotonic() < deadline:
+            try:
+                status, body, _ = _request(
+                    type("S", (), {"port": port}), "GET", "/healthz")
+                up = status == 200
+                break
+            except OSError:
+                time.sleep(0.5)
+        assert up, "server never came up"
+        # one scored request proves the pipeline, then drain
+        data = _jpeg_bytes(np.random.default_rng(10))
+        status, _, _ = _request(type("S", (), {"port": port}), "POST",
+                                "/v1/score", data)
+        assert status == 200
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=60)
+        assert proc.returncode == 0, out[-2000:]
+        assert "shutdown complete" in out
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.communicate()
 
 
 def test_cli_classnames_file(tmp_path):
