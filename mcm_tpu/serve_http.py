@@ -429,6 +429,11 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                    help="Mahalanobis template cache (npz from the "
                         "evaluator's --template_dir, or the reference's "
                         "*_classwise_mean_*.pt)")
+    p.add_argument("--n-devices", type=int, default=1,
+                   help="devices in the serving mesh (0 = all visible); "
+                        "batch buckets must divide the data axis")
+    p.add_argument("--model-parallel", type=int, default=1,
+                   help="tensor-parallel span inside the mesh")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
@@ -441,7 +446,9 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         score=args.score, T=args.T, ckpt_dir=args.ckpt_dir,
         template_ensemble=args.template_ensemble,
         allow_random_weights=args.allow_random_weights,
-        batch_sizes=tuple(int(b) for b in args.batch_buckets.split(",")))
+        batch_sizes=tuple(int(b) for b in args.batch_buckets.split(",")),
+        n_devices=args.n_devices or None,
+        model_parallel=args.model_parallel)
     if args.maha_templates:
         detector.load_maha_templates(args.maha_templates)
     if args.threshold is not None:

@@ -250,14 +250,12 @@ def test_native_decode_mem_batch_matches_single():
             assert np.array_equal(batch[i], native.decode_one_mem(data))
 
 
-def test_sigterm_drains_and_exits(tmp_path):
-    """The CLI server must exit 0 on SIGTERM after draining (a killed
-    replica must not drop in-flight scores)."""
-    import signal
+def _spawn_cli_server(tmp_path, extra_args=(), extra_env=None):
+    """Start `python -m mcm_tpu.serve_http` on a free port with the tiny
+    B/16 double on CPU; returns (proc, port)."""
     import socket
     import subprocess
     import sys
-    import time
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with socket.socket() as s:
@@ -267,13 +265,25 @@ def test_sigterm_drains_and_exits(tmp_path):
     names.write_text("cat\ndog\n")
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo,
                MCM_TPU_TEST_TINY_B16="1")
+    env.update(extra_env or {})
     proc = subprocess.Popen(
         [sys.executable, "-m", "mcm_tpu.serve_http",
          "--classnames-file", str(names), "--allow-random-weights",
          "--host", "127.0.0.1", "--port", str(port),
-         "--batch-buckets", "1,4"],
+         *extra_args],
         env=env, cwd=repo, stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT, text=True)
+    return proc, port
+
+
+def test_sigterm_drains_and_exits(tmp_path):
+    """The CLI server must exit 0 on SIGTERM after draining (a killed
+    replica must not drop in-flight scores)."""
+    import signal
+    import time
+
+    proc, port = _spawn_cli_server(tmp_path,
+                                   extra_args=("--batch-buckets", "1,4"))
     try:
         deadline = time.monotonic() + 120
         up = False
@@ -299,6 +309,39 @@ def test_sigterm_drains_and_exits(tmp_path):
         if proc.poll() is None:
             proc.kill()
             proc.communicate()
+
+
+def test_cli_server_on_dp_mesh(tmp_path):
+    """--n-devices spans the serving mesh (2 virtual CPU devices here);
+    buckets divide the data axis and requests score normally."""
+    import time
+
+    proc, port = _spawn_cli_server(
+        tmp_path,
+        extra_args=("--batch-buckets", "2,4", "--n-devices", "2"),
+        extra_env={"XLA_FLAGS": "--xla_force_host_platform_device_count=2"})
+    try:
+        deadline = time.monotonic() + 120
+        up = False
+        while time.monotonic() < deadline:
+            try:
+                status, body, _ = _request(
+                    type("S", (), {"port": port}), "GET", "/healthz")
+                up = status == 200
+                break
+            except OSError:
+                time.sleep(0.5)
+        assert up, "mesh server never came up"
+        assert json.loads(body)["batch_buckets"] == [2, 4]
+        data = _jpeg_bytes(np.random.default_rng(11))
+        status, body, _ = _request(type("S", (), {"port": port}), "POST",
+                                   "/v1/score", data)
+        assert status == 200
+        assert len(json.loads(body)["scores"]) == 1
+    finally:
+        proc.terminate()
+        out, _ = proc.communicate(timeout=60)
+        assert proc.returncode == 0, out[-2000:]
 
 
 def test_cli_classnames_file(tmp_path):
