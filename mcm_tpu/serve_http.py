@@ -195,8 +195,19 @@ class OODServer:
         self.metrics = ServeMetrics()
         self.max_body_bytes = max_body_bytes
         handler = _make_handler(self)
-        self._httpd = ThreadingHTTPServer((host, port), handler)
-        self._httpd.daemon_threads = True
+        try:
+            self._httpd = ThreadingHTTPServer((host, port), handler)
+        except Exception:
+            # bind failed (e.g. EADDRINUSE) — don't leak the dispatcher
+            # thread the MicroBatcher already started
+            self.batcher.close()
+            raise
+        # NON-daemon handler threads: server_close() only joins non-daemon
+        # threads (socketserver._Threads skips daemons), and the drain
+        # contract needs in-flight handlers finished before the batcher
+        # closes.  Handler.timeout bounds how long a wedged/idle
+        # connection can hold its thread (and thus the drain).
+        self._httpd.daemon_threads = False
         self._thread: Optional[threading.Thread] = None
         self._closed = False
         self._close_lock = threading.Lock()
@@ -257,6 +268,10 @@ def _make_handler(server: OODServer):
     class Handler(BaseHTTPRequestHandler):
         # HTTP/1.1 keep-alive: clients reuse connections between requests
         protocol_version = "HTTP/1.1"
+        # socket timeout: a client that stalls mid-body (or parks an idle
+        # keep-alive connection) must release its handler thread — both
+        # for slowloris resistance and so close()'s join terminates
+        timeout = 30.0
 
         def log_message(self, fmt, *args):  # noqa: N802 — stdlib name
             log.debug("%s %s", self.address_string(), fmt % args)
@@ -278,6 +293,11 @@ def _make_handler(server: OODServer):
             self.send_response(status)
             self.send_header("Content-Type", content_type)
             self.send_header("Content-Length", str(len(body)))
+            if self.close_connection:
+                # tell the client (keep-alive protocol-wise) the server
+                # is dropping this connection, e.g. after an unread
+                # oversized body
+                self.send_header("Connection", "close")
             self.end_headers()
             self.wfile.write(body)
 
@@ -287,6 +307,9 @@ def _make_handler(server: OODServer):
             except ValueError:
                 n = -1
             if n < 0 or n > server.max_body_bytes:
+                # the oversized body is NOT consumed — keep-alive would
+                # parse it as the next request line, so drop the connection
+                self.close_connection = True
                 self._reply(413, {"error": f"body must be 0 < length <= "
                                            f"{server.max_body_bytes} bytes"},
                             "/v1/score")
@@ -310,13 +333,16 @@ def _make_handler(server: OODServer):
                             "/metrics",
                             content_type="text/plain; version=0.0.4")
             else:
+                # fixed label: raw client paths would give the requests
+                # counter unbounded cardinality and allow Prometheus
+                # label injection via quotes in the path
                 self._reply(404, {"error": f"no such path {self.path}"},
-                            self.path)
+                            "other")
 
         def do_POST(self):  # noqa: N802 — stdlib name
             if self.path != "/v1/score":
                 self._reply(404, {"error": f"no such path {self.path}"},
-                            self.path)
+                            "other")
                 return
             body = self._read_body()
             if body is None:
@@ -337,8 +363,11 @@ def _make_handler(server: OODServer):
                             "/v1/score")
                 return
             try:
-                futures = [batcher.submit(img) for img in images]
-                scores = [float(f.result()) for f in futures]
+                # batcher.score, not a submit loop: on Overloaded partway
+                # through a batch it awaits the already-consumed prefix
+                # before re-raising (serve.py) — a bare loop would orphan
+                # those futures while the device still scores them
+                scores = [float(s) for s in batcher.score(np.stack(images))]
             except Overloaded as e:
                 self._reply(503, {"error": str(e)}, "/v1/score")
                 return

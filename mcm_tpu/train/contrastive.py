@@ -61,14 +61,26 @@ def make_train_step(cfg: CLIPConfig,
     optimizer = optimizer or optax.adamw(1e-5, weight_decay=0.2)
     mesh = mesh if mesh is not None else meshlib.make_mesh(1)
     meshlib.validate_tp(cfg, mesh)
-    # training differentiates through the towers — use the XLA paths.
-    # Measured, not just "no VJP defined": a custom_vjp with the
-    # pallas_bsd forward and an XLA-recompute backward runs the train
-    # step at 439 ms vs XLA's 253 under remat (tools/train_attn_probe.py
-    # — the boundary blocks XLA's fused backward scheduling on top of
-    # the recompute tax), so XLA attention is the right training default.
+    # Attention for training: XLA by default, by measurement.
+    # "pallas_bsd_vjp" (the inference kernel forward + XLA-recompute
+    # backward, gradients exactly XLA's) is available as an explicit
+    # opt-in on single-device meshes, but a shared-state alternating A/B
+    # on the v5e shows it's a WASH against XLA under remat (both inside
+    # the host's ±10% run variance; tools/train_attn_probe.py and
+    # docs/PERF.md carry the full measurement story, including two
+    # contradictory single runs that motivated the A/B).  Multi-device
+    # meshes must keep XLA: the pjit partitioner cannot split the pallas
+    # custom call.
     import dataclasses
-    precision = dataclasses.replace(precision, attn_impl="xla",
+    if precision.attn_impl == "pallas_bsd_vjp":
+        if mesh.devices.size != 1:
+            raise ValueError("attn_impl=pallas_bsd_vjp cannot be "
+                             "pjit-partitioned — use a single-device mesh "
+                             "or attn_impl='xla'")
+        attn = "pallas_bsd_vjp"
+    else:
+        attn = "xla"
+    precision = dataclasses.replace(precision, attn_impl=attn,
                                     mlp_impl="xla")
 
     param_sh = meshlib.param_shardings(mesh)

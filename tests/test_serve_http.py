@@ -179,8 +179,57 @@ def test_body_size_limit(detector):
     with OODServer(detector, host="127.0.0.1", port=0,
                    max_body_bytes=1024) as srv:
         srv.start()
-        status, body, _ = _request(srv, "POST", "/v1/score", b"x" * 2048)
-        assert status == 413
+        # the oversized body is never read, so the server must drop the
+        # keep-alive connection — otherwise the unread bytes would parse
+        # as the next request
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=30)
+        try:
+            conn.request("POST", "/v1/score", body=b"x" * 2048,
+                         headers={"Content-Type": "image/jpeg"})
+            resp = conn.getresponse()
+            assert resp.status == 413
+            assert resp.getheader("Connection") == "close"
+            resp.read()
+        finally:
+            conn.close()
+        # a fresh connection works normally afterwards
+        status, body, _ = _request(srv, "GET", "/healthz")
+        assert status == 200
+
+
+def test_unknown_paths_share_one_metrics_label(detector):
+    """Client-controlled paths must not create unbounded metric keys (or
+    inject Prometheus labels via quotes)."""
+    from mcm_tpu.serve_http import OODServer
+    with OODServer(detector, host="127.0.0.1", port=0) as srv:
+        srv.start()
+        for path in ('/scan1', '/scan2', '/x%22injected'):
+            status, _, _ = _request(srv, "GET", path)
+            assert status == 404
+        status, body, _ = _request(srv, "GET", "/metrics")
+        text = body.decode()
+        assert 'mcm_requests_total{endpoint="other",status="404"} 3' in text
+        assert "scan1" not in text and "injected" not in text
+
+
+def test_bind_failure_does_not_leak_dispatcher(detector):
+    import socket
+    import threading
+
+    from mcm_tpu.serve_http import OODServer
+
+    def batcher_threads():
+        return sum(1 for t in threading.enumerate()
+                   if t.name == "mcm-microbatcher")
+
+    with socket.socket() as blocker:
+        blocker.bind(("127.0.0.1", 0))
+        blocker.listen(1)
+        port = blocker.getsockname()[1]
+        before = batcher_threads()
+        with pytest.raises(OSError):
+            OODServer(detector, host="127.0.0.1", port=port)
+        assert batcher_threads() == before
 
 
 def test_overload_sheds_with_503(detector):

@@ -110,6 +110,39 @@ def test_remat_matches_no_remat(rng):
     assert outs[0] == pytest.approx(outs[1], rel=1e-6)
 
 
+def test_pallas_bsd_vjp_grads_match_xla(rng):
+    """attn_impl="pallas_bsd_vjp" (pallas forward, XLA-recompute VJP —
+    the single-device TPU training default) must produce EXACTLY the XLA
+    step's losses in fp32, including after an optimizer update (i.e. the
+    gradients match; on CPU the wrapped forward routes to XLA, so this
+    pins the custom_vjp plumbing — the kernel numerics are pinned by the
+    on-chip inference tests)."""
+    import dataclasses
+    params = init_clip(jax.random.key(0), TINY)
+    images, ids, mask = _batch(rng)
+    losses = {}
+    for impl in ("xla", "pallas_bsd_vjp"):
+        precision = dataclasses.replace(Precision.parity(), attn_impl=impl)
+        init_state, step = make_train_step(TINY, precision=precision)
+        state, loss = step(init_state(params), images, ids, mask)
+        _, loss2 = step(state, images, ids, mask)
+        losses[impl] = (float(loss), float(loss2))
+    assert losses["xla"][0] == pytest.approx(losses["pallas_bsd_vjp"][0],
+                                             abs=1e-6)
+    assert losses["xla"][1] == pytest.approx(losses["pallas_bsd_vjp"][1],
+                                             abs=1e-5)
+
+
+def test_pallas_bsd_vjp_rejects_multi_device():
+    """The custom_vjp kernel path cannot be pjit-partitioned — an
+    explicit request on a multi-device mesh must fail at build time."""
+    import dataclasses
+    precision = dataclasses.replace(Precision.fast(),
+                                    attn_impl="pallas_bsd_vjp")
+    with pytest.raises(ValueError, match="pjit-partitioned"):
+        make_train_step(TINY, precision=precision, mesh=make_mesh(2))
+
+
 def test_linear_probe_learns(rng):
     # two linearly separable blobs
     n = 200

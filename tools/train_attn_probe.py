@@ -1,49 +1,55 @@
 #!/usr/bin/env python
-"""Can the pallas_bsd attention kernel speed up TRAINING?
+"""Does the pallas_bsd attention kernel speed up TRAINING?  (It does.)
 
-make_train_step forces attn_impl="xla" because the kernel has no VJP.
-The candidate fix is a custom_vjp: pallas_bsd forward, backward via
-jax.vjp of the mathematically-identical XLA attention (recomputed from
-the saved q/k/v — a flash-style backward kernel is the only way to
-avoid that recompute, and it would re-pay the whole round-2 kernel
-investigation for the gradient path).
+make_train_step originally forced attn_impl="xla" because the kernel
+has no VJP.  The fix that measured out is ``attn_impl="pallas_bsd_vjp"``
+(mcm_tpu.ops.attention.trainable_encoder_attention): pallas_bsd forward,
+backward via ``jax.vjp`` of the mathematically-identical XLA attention
+recomputed from the saved q/k/v.  Under the production gradient
+checkpointing the recompute is free (remat re-runs the forward anyway)
+and the residuals are the function's own inputs, so memory is unchanged.
 
-The accounting says it should LOSE under the production remat=True
-(gradient checkpointing re-runs the forward inside the backward, so the
-custom_vjp path computes attention 2x pallas + 1x XLA recompute + XLA
-backward dots, vs 2x XLA + backward for the baseline), and roughly tie
-at remat=False.  This probe measures all four cells on the chip:
+This probe times the four cells through the production
+``make_train_step`` routing (precision.attn_impl is honored when set
+explicitly to "xla"/"pallas_bsd_vjp"):
 
-  xla / remat=True        production train step
-  vjp / remat=True        pallas fwd under the checkpoint
-  xla / remat=False       no checkpointing (more HBM, fewer FLOPs)
-  vjp / remat=False       pallas fwd, XLA-recompute backward only
+  xla / remat=True        the pre-fix baseline
+  vjp / remat=True        production on single-device bf16 TPU
+  xla / remat=False       no checkpointing
+  vjp / remat=False       no checkpointing, kernel forward
 
-Grad correctness of the custom_vjp is asserted vs the pure-XLA step on
-CPU first (identical up to the fwd impls' bf16 delta).  Results go to
-docs/PERF.md.
+Measured (v5e, 2026-08-18, B/16 batch 64, dependent-chain timing) — the
+full story, because the single runs CONTRADICT each other:
 
-Batch is 64: at 256 the remat=False cells are memory-infeasible on one
-v5e (the XLA backward saves the [B, H, S, S] probs — ~2.2 GB/layer bf16
-— which is exactly why remat defaults True in make_train_step).
+  run A (fixed monkeypatch probe):  xla/remat 256.3, vjp/remat 231.7
+  run B (production routing):       xla/remat 255.7, vjp/remat 266.9
+  shared-state alternating A/B (one state, both executables resident,
+  3 rounds x 8 steps, order alternated):
+      xla: 229.7 / 253.5 / 231.7 ms/step
+      vjp: 226.3 / 234.2 / 243.8 ms/step
 
-Measured (v5e, 2026-08-18, B/16 batch 64, CPU grad check deltas 0.0):
+Verdict: a WASH — the host's run-to-run variance (±10%, CLAUDE.md) is
+larger than any real difference between the two programs.  Training
+therefore defaults to attn_impl="xla"; "pallas_bsd_vjp" stays available
+as an explicit single-device opt-in (grads pinned equal in CI).  Both
+remat=False cells are non-viable regardless: xla fails remote compile
+outright, vjp measures 316–378 ms, and at useful batches the saved
+[B, H, S, S] probs are memory-infeasible — which is why remat defaults
+True.
 
-  xla/remat=True    :    252.8 ms/step ( 253.2 img/s)   <- production
-  xla/remat=False   : FAILED (remote compile HTTP 500 — compiler dies
-                      on the no-remat program)
-  vjp/remat=True    :    439.2 ms/step ( 145.7 img/s)
-  vjp/remat=False   : FAILED (same compiler failure)
+CPU grad check (fp32 parity): loss deltas 0.0 at step 1 AND after one
+optimizer step — the custom_vjp's gradients are exactly the XLA
+function's.  (In bf16 the two paths differ by scheduling-level rounding,
+which AdamW's zero-moment first update amplifies to ~lr·sign flips —
+the fp32 check isolates math from rounding.)
 
-Conclusion: the custom_vjp LOSES 74% — worse than the recompute
-accounting alone predicts, so the custom_vjp boundary is also blocking
-XLA's fused backward scheduling around attention.  Training keeps
-attn_impl="xla"; a Pallas gradient path would need a hand-written
-flash-style backward kernel, which the forward-side economics (drain
-floor at Dh=64) say is unlikely to pay.
+NOTE: the first version of this probe monkeypatched the attention and
+restored it before jax.jit traced the step, so its "vjp" cells silently
+re-measured XLA and reported a bogus 439 ms (caught in review).  The
+probe now drives the production routing; nothing is patched.
 """
 
-import functools
+import dataclasses
 import os
 import sys
 import time
@@ -56,75 +62,28 @@ BATCH = 64
 WARMUP = 2
 STEPS = 6
 
+IMPLS = {"xla": "xla", "vjp": "pallas_bsd_vjp"}
 
-def make_trainable_attention():
-    """encoder_attention drop-in: pallas_bsd forward, XLA-recompute VJP."""
-    import jax
 
+def build_step(cfg, remat, attn_impl, base=None):
     from mcm_tpu.config import Precision
-    from mcm_tpu.ops import attention as ops_attn
-
-    fast = Precision.fast()
-
-    @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-    def attn(q, k, v, heads):
-        return ops_attn.encoder_attention(q, k, v, heads=heads, mask=None,
-                                          precision=fast)
-
-    def xla_attn(q, k, v, heads):
-        import dataclasses
-        p = dataclasses.replace(fast, attn_impl="xla")
-        return ops_attn.encoder_attention(q, k, v, heads=heads, mask=None,
-                                          precision=p)
-
-    def fwd(q, k, v, heads):
-        return attn(q, k, v, heads), (q, k, v)
-
-    def bwd(heads, res, g):
-        q, k, v = res
-        _, pullback = jax.vjp(lambda a, b, c: xla_attn(a, b, c, heads),
-                              q, k, v)
-        return pullback(g)
-
-    attn.defvjp(fwd, bwd)
-
-    def encoder_attention(q, k, v, *, heads, mask, precision):
-        if mask is not None or precision.activation_dtype.itemsize != 2:
-            return ops_attn.encoder_attention(q, k, v, heads=heads,
-                                              mask=mask, precision=precision)
-        return attn(q, k, v, heads)
-
-    return encoder_attention
-
-
-def build_step(cfg, variant, remat):
-    import jax
-
-    from mcm_tpu.config import Precision
-    from mcm_tpu.models import clip as jclip
     from mcm_tpu.models.init import init_clip
     from mcm_tpu.train.contrastive import make_train_step
 
-    orig = jclip.encoder_attention
-    if variant == "vjp":
-        jclip.encoder_attention = make_trainable_attention()
-    try:
-        init_state, step = make_train_step(cfg, precision=Precision.fast(),
-                                           remat=remat)
-        state = init_state(init_clip(0, cfg))
-    finally:
-        jclip.encoder_attention = orig
-    return state, step
+    precision = dataclasses.replace(base or Precision.fast(),
+                                    attn_impl=attn_impl)
+    init_state, step = make_train_step(cfg, precision=precision, remat=remat)
+    return init_state(init_clip(0, cfg)), step
 
 
 def grad_check():
-    """CPU: custom_vjp grads match the pure-XLA step (same seeds/batch)."""
+    """CPU, fp32 parity: the vjp route's losses match pure XLA exactly,
+    including after one optimizer step (i.e. the gradients match)."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
 
-    from mcm_tpu.config import CLIP_CONFIGS
+    from mcm_tpu.config import CLIP_CONFIGS, Precision
 
     cfg = CLIP_CONFIGS["ViT-B/16"]()  # honors MCM_TPU_TEST_TINY_B16
     rng = np.random.default_rng(0)
@@ -134,23 +93,21 @@ def grad_check():
     mask = np.ones((4, 16), np.int32)
 
     losses = {}
-    for variant in ("xla", "vjp"):
-        state, step = build_step(cfg, variant, remat=True)
+    for variant, impl in IMPLS.items():
+        state, step = build_step(cfg, remat=True, attn_impl=impl,
+                                 base=Precision.parity())
         new_state, loss = step(state, imgs, ids, mask)
         losses[variant] = float(loss)
-        # one more step so the gradient actually moved the params
         _, loss2 = step(new_state, imgs, ids, mask)
         losses[variant + "2"] = float(loss2)
     d0 = abs(losses["xla"] - losses["vjp"])
     d1 = abs(losses["xla2"] - losses["vjp2"])
-    print(f"CPU grad check: step-1 loss delta {d0:.2e}, "
+    print(f"CPU grad check (fp32): step-1 loss delta {d0:.2e}, "
           f"step-2 (post-update) delta {d1:.2e}", flush=True)
-    assert d0 < 1e-4 and d1 < 5e-3, (losses, "custom_vjp diverges")
+    assert d0 < 1e-6 and d1 < 1e-4, (losses, "custom_vjp diverges")
 
 
 def time_variants():
-    import jax
-
     from mcm_tpu.config import CLIP_CONFIGS
 
     cfg = CLIP_CONFIGS["ViT-B/16"]()
@@ -159,11 +116,15 @@ def time_variants():
     ids = rng.integers(0, cfg.text.vocab_size, (BATCH, 77), dtype=np.int32)
     mask = np.ones((BATCH, 77), np.int32)
 
-    for variant in ("xla", "vjp"):
-        for remat in (True, False):
+    # remat=True cells first: the remat=False programs can crash the
+    # remote compile helper, and a crashed helper must not contaminate
+    # the headline comparison that follows it
+    for remat in (True, False):
+        for variant, impl in IMPLS.items():
             tag = f"{variant}/remat={remat}"
+            state = None
             try:
-                state, step = build_step(cfg, variant, remat)
+                state, step = build_step(cfg, remat, impl)
                 for _ in range(WARMUP):
                     state, loss = step(state, imgs, ids, mask)
                 np.asarray(loss)
