@@ -12,6 +12,7 @@ loadable by ``--model CLIP-Linear`` (reference consumption path:
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Callable, Optional, Sequence
 
@@ -42,14 +43,19 @@ def train_clip(cfg: CLIPConfig, dataset, class_names: Sequence[str],
                precision: Precision = Precision.fast(), mesh=None,
                params=None, num_workers: Optional[int] = None,
                image_size: Optional[int] = None,
-               ckpt_path: Optional[str] = None,
+               ckpt_path: Optional[str] = None, resume: bool = False,
                log: Callable[[str], None] = print) -> TrainState:
     """Fine-tune CLIP contrastively on an ImageFolder-style dataset.
 
     Each image is paired with the prompt of its class name; batches are
     reshuffled every epoch (seeded, reproducible).  Returns the final
     TrainState; if ``ckpt_path`` is set, the params pytree is saved there
-    after every epoch (npz, consumable by ``--model CLIP-Linear``).
+    after every epoch (npz, consumable by ``--model CLIP-Linear``) plus a
+    full-state sibling (``<ckpt>.train_state.npz``: optimizer moments +
+    step + epoch).  ``resume=True`` restores that sibling when present
+    and continues from the next epoch — the per-epoch shuffle stream is
+    replayed for completed epochs, so a resumed run walks the exact
+    batch order of an uninterrupted one.
     """
     import jax
 
@@ -76,8 +82,22 @@ def train_clip(cfg: CLIPConfig, dataset, class_names: Sequence[str],
     if n < batch_size:
         raise ValueError(f"dataset ({n}) smaller than batch ({batch_size})")
     size = image_size or cfg.vision.image_size
+
+    state_path = f"{ckpt_path}.train_state.npz" if ckpt_path else None
+    start_epoch = 0
+    if resume and state_path and os.path.exists(state_path):
+        from mcm_tpu.train.checkpoint import load_train_state
+        state, start_epoch = load_train_state(state_path, state)
+        log(f"resumed from {state_path}: {start_epoch} epoch(s) done, "
+            f"step {int(np.asarray(state.step))}")
+
     for epoch in range(epochs):
-        pipe = DataPipeline(ShuffledView(dataset, rng.permutation(n)),
+        # the permutation is ALWAYS drawn so a resumed run's shuffle
+        # stream is identical to an uninterrupted run's
+        perm = rng.permutation(n)
+        if epoch < start_epoch:
+            continue
+        pipe = DataPipeline(ShuffledView(dataset, perm),
                             batch_size, image_size=size,
                             num_workers=num_workers, drop_remainder=True)
         losses = []
@@ -98,6 +118,11 @@ def train_clip(cfg: CLIPConfig, dataset, class_names: Sequence[str],
             raise FloatingPointError(f"non-finite loss at epoch {epoch + 1}")
         if ckpt_path:
             _save_checkpoint(state.params, ckpt_path, log)
+            leaves = jax.tree_util.tree_leaves(state.params)
+            if all(getattr(l, "is_fully_addressable", True)
+                   for l in leaves):
+                from mcm_tpu.train.checkpoint import save_train_state
+                save_train_state(state, state_path, epoch=epoch + 1)
     return state
 
 

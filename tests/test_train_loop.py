@@ -57,6 +57,77 @@ def test_shuffled_view_reorders_per_epoch():
     assert order1 != order2  # reshuffled between epochs
 
 
+def test_resume_matches_uninterrupted(tmp_path):
+    """2 epochs + resume-to-3 must equal 3 straight epochs exactly: the
+    full-state checkpoint restores AdamW moments and the step counter,
+    and completed epochs' shuffle permutations are replayed so the batch
+    order is identical."""
+    import jax
+    import numpy as np
+
+    from mcm_tpu.data.folder import ImageFolder
+    from mcm_tpu.parallel import make_mesh
+    from mcm_tpu.runner import _HashTokenizer
+    from mcm_tpu.train import train_clip
+
+    make_imagefolder_tree(str(tmp_path / "tree"), ["cat", "dog", "owl"], 6)
+    ds = ImageFolder(str(tmp_path / "tree"))
+    kw = dict(dataset=ds, class_names=["cat", "dog", "owl"],
+              tokenizer=_HashTokenizer(512), batch_size=8, seed=0,
+              mesh=make_mesh(1), image_size=32, num_workers=1,
+              log=lambda s: None)
+
+    a = train_clip(_tiny_cfg(), epochs=3,
+                   ckpt_path=str(tmp_path / "a.npz"), **kw)
+
+    ckpt_b = str(tmp_path / "b.npz")
+    train_clip(_tiny_cfg(), epochs=2, ckpt_path=ckpt_b, **kw)
+    assert os.path.exists(ckpt_b + ".train_state.npz")
+    logs = []
+    kw_resume = dict(kw, log=logs.append)
+    b = train_clip(_tiny_cfg(), epochs=3, ckpt_path=ckpt_b, resume=True,
+                   **kw_resume)
+    assert any("resumed" in l for l in logs)
+    assert any("epoch 3/3" in l for l in logs)
+    assert not any("epoch 1/3" in l or "epoch 2/3" in l for l in logs)
+
+    assert int(np.asarray(a.step)) == int(np.asarray(b.step)) == 6
+    for la, lb in zip(jax.tree_util.tree_leaves(a.params),
+                      jax.tree_util.tree_leaves(b.params)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_train_state_refuses_mismatched_structure(tmp_path):
+    """A checkpoint from a different optimizer/model must fail loudly."""
+    import optax
+    import pytest
+
+    from mcm_tpu.models.init import init_clip
+    from mcm_tpu.train import load_train_state, make_train_step
+    from mcm_tpu.train.checkpoint import save_train_state
+
+    cfg = _tiny_cfg()
+    init_state, _ = make_train_step(cfg)
+    state = init_state(init_clip(0, cfg))
+    path = str(tmp_path / "s.npz")
+    save_train_state(state, path, epoch=1)
+
+    # same model, different optimizer → different opt_state structure
+    init_sgd, _ = make_train_step(cfg, optimizer=optax.sgd(1e-3))
+    other = init_sgd(init_clip(0, cfg))
+    with pytest.raises(ValueError, match="different train-state structure"):
+        load_train_state(path, other)
+
+    # happy path restores equal leaves
+    restored, epoch = load_train_state(path, state)
+    assert epoch == 1
+    import jax
+    import numpy as np
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_finetune_cli_then_clip_linear_eval(tmp_path):
     """tools/finetune_clip.py → eval_ood_detection.py --model CLIP-Linear
     consumes the produced checkpoint (full-size B/16, 1 epoch, tiny data)."""

@@ -38,6 +38,10 @@ def main():
     p.add_argument("--out", default=None, type=str)
     p.add_argument("--ckpt_dir", default=None, type=str)
     p.add_argument("--allow_random_weights", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from <out>.train_state.npz (optimizer "
+                        "moments + epoch) if present — a preempted run "
+                        "picks up exactly where it died")
     args = p.parse_args()
 
     import optax
@@ -68,7 +72,8 @@ def main():
                precision=Precision.fast(),
                mesh=make_mesh(args.n_devices,
                               model_parallel=args.model_parallel),
-               params=params, num_workers=args.num_workers, ckpt_path=out)
+               params=params, num_workers=args.num_workers, ckpt_path=out,
+               resume=args.resume)
     print(f"wrote {out}")
 
 
