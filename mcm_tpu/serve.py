@@ -26,7 +26,7 @@ import queue
 import threading
 import time
 from concurrent.futures import Future, InvalidStateError
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -76,11 +76,13 @@ class OODDetector:
         if bad:
             raise ValueError(f"batch_sizes {bad} not divisible by the "
                              f"data-parallel mesh size {dp}")
+        self.class_names = list(class_names)
         self.text_feats = _encode_prompts(self.step, self.params, tokenizer,
-                                          list(class_names),
+                                          self.class_names,
                                           cfg.template_ensemble)
         self.threshold: Optional[float] = None
         self._maha = None  # (mean, precision, normalize) once loaded
+        self._text_host = None  # lazy d2h copy for host-side classify
 
     def load_maha_templates(self, path: str,
                             normalize: Optional[bool] = None) -> None:
@@ -192,6 +194,44 @@ class OODDetector:
             feats = self.step.features(self.params, images_device)
             return self.step.maha(feats, mu, prec, normalize=norm)
         return self.step.score(self.params, images_device, self.text_feats)
+
+    def classify_images(self, images_u8: np.ndarray
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+        """Joint zero-shot classification + OOD scoring:
+        [N, S, S, 3] uint8 → ``(class_idx [N] int64, scores [N] fp32)``.
+
+        The class prediction is the argmax over the same prompt-similarity
+        logits the MCM score reduces — it comes free from one encoder
+        pass (``detection_util.py:225-231`` computes the same logits).
+        Features are encoded on the device; the [N, C] logits/argmax run
+        on the host in fp32 (``compute_scores_host``) so no extra device
+        executable is compiled per bucket — on tunneled dev TPUs a fresh
+        executable costs minutes (CLAUDE.md)."""
+        images_u8 = np.asarray(images_u8)
+        if images_u8.ndim == 3:
+            images_u8 = images_u8[None]
+        if self._text_host is None:
+            # one-time d2h of the prompt features (pays the tunnel's
+            # first-readback executable load — hence lazy)
+            self._text_host = np.asarray(self.text_feats, np.float32)
+        from mcm_tpu.scores.clip_scores import compute_scores_host
+        s = self.image_size
+        n = images_u8.shape[0]
+        idx = np.empty((n,), np.int64)
+        scores = np.empty((n,), np.float32)
+        done = 0
+        while done < n:
+            chunk = min(n - done, self.batch_sizes[-1])
+            batch = self._pad_to_bucket(images_u8[done:done + chunk])
+            feats = np.asarray(self.step.features(
+                self.params, self.step.put_batch(batch)), np.float32)[:chunk]
+            norm = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
+            idx[done:done + chunk] = np.argmax(norm @ self._text_host.T,
+                                               axis=-1)
+            scores[done:done + chunk] = compute_scores_host(
+                feats, self._text_host, self.cfg.score, self.cfg.T)
+            done += chunk
+        return idx, scores
 
     def score_files(self, paths: Sequence[str],
                     num_workers: Optional[int] = None) -> np.ndarray:

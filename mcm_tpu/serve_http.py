@@ -28,7 +28,10 @@ Endpoints
     ``{"images_b64": ["...", ...]}``.  Response JSON:
     ``{"scores": [...], "is_id": [...]}`` (``is_id`` present once a
     threshold is set; scores follow the evaluator's lower = more ID
-    convention).
+    convention).  ``?classify=1`` (or ``"classify": true`` in the JSON
+    body) additionally returns ``class_index``/``class_name`` — the
+    zero-shot prediction from the same similarity logits the OOD score
+    reduces, one encoder pass for both.
 ``GET /healthz``
     Liveness + model identity (the listener only binds after the detector
     finished building — weights loaded, prompts encoded, buckets
@@ -340,7 +343,8 @@ def _make_handler(server: OODServer):
                             "other")
 
         def do_POST(self):  # noqa: N802 — stdlib name
-            if self.path != "/v1/score":
+            path, _, query = self.path.partition("?")
+            if path != "/v1/score":
                 self._reply(404, {"error": f"no such path {self.path}"},
                             "other")
                 return
@@ -348,10 +352,12 @@ def _make_handler(server: OODServer):
             if body is None:
                 return
             t0 = time.monotonic()
+            classify = "classify=1" in query.split("&")
             ctype = (self.headers.get("Content-Type") or "").split(";")[0]
             try:
                 if ctype == "application/json":
-                    images = self._decode_json_batch(body)
+                    images, classify = self._decode_json_batch(body,
+                                                               classify)
                 else:
                     images = [decode_image_bytes(body, detector.image_size)]
             except ValueError as e:
@@ -362,12 +368,26 @@ def _make_handler(server: OODServer):
                 self._reply(400, {"error": "no images in request"},
                             "/v1/score")
                 return
+            out = {}
             try:
-                # batcher.score, not a submit loop: on Overloaded partway
-                # through a batch it awaits the already-consumed prefix
-                # before re-raising (serve.py) — a bare loop would orphan
-                # those futures while the device still scores them
-                scores = [float(s) for s in batcher.score(np.stack(images))]
+                if classify:
+                    # joint zero-shot classification + OOD score: one
+                    # device feature pass, host logits (detector path —
+                    # classification requests are batch-shaped already,
+                    # so they skip the single-image coalescer)
+                    idx, s = detector.classify_images(np.stack(images))
+                    scores = [float(x) for x in s]
+                    out["class_index"] = [int(i) for i in idx]
+                    out["class_name"] = [detector.class_names[i]
+                                         for i in idx]
+                else:
+                    # batcher.score, not a submit loop: on Overloaded
+                    # partway through a batch it awaits the already-
+                    # consumed prefix before re-raising (serve.py) — a
+                    # bare loop would orphan those futures while the
+                    # device still scores them
+                    scores = [float(x)
+                              for x in batcher.score(np.stack(images))]
             except Overloaded as e:
                 self._reply(503, {"error": str(e)}, "/v1/score")
                 return
@@ -375,14 +395,14 @@ def _make_handler(server: OODServer):
                 # batcher closed mid-shutdown
                 self._reply(503, {"error": str(e)}, "/v1/score")
                 return
-            out = {"scores": scores}
+            out["scores"] = scores
             if detector.threshold is not None:
                 out["threshold"] = detector.threshold
                 out["is_id"] = [s <= detector.threshold for s in scores]
             self._reply(200, out, "/v1/score", images=len(scores),
                         latency_s=time.monotonic() - t0)
 
-        def _decode_json_batch(self, body: bytes) -> Sequence[np.ndarray]:
+        def _decode_json_batch(self, body: bytes, classify: bool):
             try:
                 payload = json.loads(body)
             except json.JSONDecodeError as e:
@@ -396,7 +416,8 @@ def _make_handler(server: OODServer):
                     raws.append(base64.b64decode(b64, validate=True))
                 except (binascii.Error, TypeError):
                     raise ValueError(f"images_b64[{i}] is not valid base64")
-            return decode_images_bulk(raws, detector.image_size)
+            images = decode_images_bulk(raws, detector.image_size)
+            return images, bool(payload.get("classify", classify))
 
     return Handler
 

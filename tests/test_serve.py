@@ -52,6 +52,22 @@ def test_score_files_matches_score_images(detector, tmp_path):
                                rtol=5e-3, atol=5e-4)
 
 
+def test_classify_images_matches_scores(detector):
+    rng = np.random.default_rng(7)
+    imgs = rng.integers(0, 256, size=(6, 224, 224, 3), dtype=np.uint8)
+    idx, scores = detector.classify_images(imgs)
+    assert idx.shape == scores.shape == (6,)
+    assert ((idx >= 0) & (idx < len(detector.class_names))).all()
+    # host fp32 scoring from device features tracks the device score path
+    np.testing.assert_allclose(scores, detector.score_images(imgs),
+                               rtol=5e-3, atol=5e-4)
+    # the prediction is the argmax of the same logits MCM reduces: the
+    # MCM score equals minus the predicted class's softmax probability,
+    # so the class with the max similarity is what the score came from
+    one_idx, one_scores = detector.classify_images(imgs[0])
+    assert one_idx[0] == idx[0]
+
+
 def test_calibrate_and_is_id(detector):
     rng = np.random.default_rng(1)
     id_scores = rng.uniform(-1.0, -0.6, 1000)

@@ -110,6 +110,33 @@ def test_score_json_batch(server, detector):
                                rtol=5e-3, atol=5e-4)
 
 
+def test_classify_endpoint(server, detector):
+    rng = np.random.default_rng(12)
+    blobs = [_jpeg_bytes(rng, w=235 + 9 * i) for i in range(3)]
+    payload = json.dumps(
+        {"images_b64": [base64.b64encode(b).decode() for b in blobs],
+         "classify": True})
+    status, body, _ = _request(server, "POST", "/v1/score", payload,
+                               ctype="application/json")
+    assert status == 200
+    out = json.loads(body)
+    assert len(out["scores"]) == 3
+    assert all(n in detector.class_names for n in out["class_name"])
+    assert [detector.class_names[i] for i in out["class_index"]] \
+        == out["class_name"]
+
+    # single raw body via the query param
+    status, body, _ = _request(server, "POST", "/v1/score?classify=1",
+                               blobs[0])
+    assert status == 200
+    out1 = json.loads(body)
+    assert out1["class_name"][0] == out["class_name"][0]
+    # classify host scores track the device-batched scores loosely
+    # (fp32 host logits vs bf16 device scoring)
+    np.testing.assert_allclose(out1["scores"], out["scores"][:1],
+                               rtol=5e-3, atol=5e-4)
+
+
 def test_is_id_appears_once_calibrated(server, detector):
     data = _jpeg_bytes(np.random.default_rng(3))
     old = detector.threshold
