@@ -156,13 +156,11 @@ class OODDetector:
             batch[i] = img
         return batch
 
-    def score_images(self, images_u8: np.ndarray) -> np.ndarray:
-        """[N, S, S, 3] uint8 (preprocessed) → [N] fp32 scores
-        (lower = more in-distribution, the evaluator's convention)."""
+    def _validate_images(self, images_u8, caller: str) -> np.ndarray:
         images_u8 = np.asarray(images_u8)
         if images_u8.dtype != np.uint8:
             raise TypeError(
-                f"score_images expects uint8 pixels in [0, 255] (got "
+                f"{caller} expects uint8 pixels in [0, 255] (got "
                 f"{images_u8.dtype}); normalization happens on-device — "
                 f"scale float inputs by 255 and cast explicitly")
         if images_u8.ndim == 3:
@@ -177,6 +175,12 @@ class OODDetector:
                 f"(detector built with image_size={s}), got "
                 f"{images_u8.shape}; decode+resize via score_files or "
                 f"mcm_tpu.data.DataPipeline first")
+        return images_u8
+
+    def score_images(self, images_u8: np.ndarray) -> np.ndarray:
+        """[N, S, S, 3] uint8 (preprocessed) → [N] fp32 scores
+        (lower = more in-distribution, the evaluator's convention)."""
+        images_u8 = self._validate_images(images_u8, "score_images")
         n = images_u8.shape[0]
         out = np.empty((n,), np.float32)
         done = 0
@@ -201,21 +205,24 @@ class OODDetector:
         [N, S, S, 3] uint8 → ``(class_idx [N] int64, scores [N] fp32)``.
 
         The class prediction is the argmax over the same prompt-similarity
-        logits the MCM score reduces — it comes free from one encoder
+        logits the CLIP scores reduce — it comes free from one encoder
         pass (``detection_util.py:225-231`` computes the same logits).
-        Features are encoded on the device; the [N, C] logits/argmax run
-        on the host in fp32 (``compute_scores_host``) so no extra device
-        executable is compiled per bucket — on tunneled dev TPUs a fresh
-        executable costs minutes (CLAUDE.md)."""
-        images_u8 = np.asarray(images_u8)
-        if images_u8.ndim == 3:
-            images_u8 = images_u8[None]
+        The SCORES follow the detector's configured scoring path exactly
+        (Mahalanobis once templates are loaded, else ``cfg.score`` — host
+        fp32 from the device features), so calibrated thresholds apply
+        to both ``score_images`` and ``classify_images`` alike.
+
+        Device side this uses the per-bucket ``features`` executable (the
+        one Mahalanobis scoring uses); a detector that has only ever run
+        ``score_images`` compiles it on the first classify per bucket —
+        minutes on a tunneled dev TPU (CLAUDE.md), one-time per process.
+        """
+        images_u8 = self._validate_images(images_u8, "classify_images")
         if self._text_host is None:
             # one-time d2h of the prompt features (pays the tunnel's
             # first-readback executable load — hence lazy)
             self._text_host = np.asarray(self.text_feats, np.float32)
-        from mcm_tpu.scores.clip_scores import compute_scores_host
-        s = self.image_size
+        from mcm_tpu.scores.clip_scores import _scores_from_logits_host
         n = images_u8.shape[0]
         idx = np.empty((n,), np.int64)
         scores = np.empty((n,), np.float32)
@@ -223,13 +230,27 @@ class OODDetector:
         while done < n:
             chunk = min(n - done, self.batch_sizes[-1])
             batch = self._pad_to_bucket(images_u8[done:done + chunk])
-            feats = np.asarray(self.step.features(
-                self.params, self.step.put_batch(batch)), np.float32)[:chunk]
-            norm = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
-            idx[done:done + chunk] = np.argmax(norm @ self._text_host.T,
-                                               axis=-1)
-            scores[done:done + chunk] = compute_scores_host(
-                feats, self._text_host, self.cfg.score, self.cfg.T)
+            feats_dev = self.step.features(self.params,
+                                           self.step.put_batch(batch))
+            if self._maha is not None:
+                # score EXACTLY like _score_device — mixing score
+                # families behind one threshold would be silent
+                # corruption
+                mu, prec, norm = self._maha
+                maha = self.step.maha(feats_dev, mu, prec, normalize=norm)
+                scores[done:done + chunk] = np.asarray(maha)[:chunk]
+                feats = np.asarray(feats_dev, np.float32)[:chunk]
+                logits = None
+            else:
+                feats = np.asarray(feats_dev, np.float32)[:chunk]
+                fn = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
+                logits = fn @ self._text_host.T
+                scores[done:done + chunk] = _scores_from_logits_host(
+                    logits, self.cfg.T)[self.cfg.score].astype(np.float32)
+            if logits is None:
+                fn = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
+                logits = fn @ self._text_host.T
+            idx[done:done + chunk] = np.argmax(logits, axis=-1)
             done += chunk
         return idx, scores
 
@@ -371,6 +392,14 @@ class MicroBatcher:
     def _on_done(self, _fut) -> None:
         with self._lock:
             self._outstanding -= 1
+
+    @property
+    def pending(self) -> int:
+        """Unresolved requests right now (the quantity ``max_pending``
+        bounds) — lets co-located non-batcher work (e.g. the HTTP
+        classify path) shed load against the same budget."""
+        with self._lock:
+            return self._outstanding
 
     def score(self, images_u8: np.ndarray) -> np.ndarray:
         """Blocking convenience: submit each image, gather scores.

@@ -197,6 +197,10 @@ class OODServer:
                                     max_pending=max_pending)
         self.metrics = ServeMetrics()
         self.max_body_bytes = max_body_bytes
+        # classify requests bypass the batcher, but they shed against the
+        # same max_pending budget — this counts their in-flight images
+        self._classify_inflight = 0
+        self._classify_lock = threading.Lock()
         handler = _make_handler(self)
         try:
             self._httpd = ThreadingHTTPServer((host, port), handler)
@@ -374,8 +378,25 @@ def _make_handler(server: OODServer):
                     # joint zero-shot classification + OOD score: one
                     # device feature pass, host logits (detector path —
                     # classification requests are batch-shaped already,
-                    # so they skip the single-image coalescer)
-                    idx, s = detector.classify_images(np.stack(images))
+                    # so they skip the single-image coalescer).  They
+                    # still shed against the SAME max_pending budget the
+                    # batcher enforces, or unbounded handler threads
+                    # could dispatch unbounded device work.
+                    if batcher.max_pending is not None:
+                        with server._classify_lock:
+                            load = (batcher.pending
+                                    + server._classify_inflight)
+                            if load + len(images) > batcher.max_pending:
+                                raise Overloaded(
+                                    f"{load} requests already pending "
+                                    f"(max_pending={batcher.max_pending})")
+                            server._classify_inflight += len(images)
+                    try:
+                        idx, s = detector.classify_images(np.stack(images))
+                    finally:
+                        if batcher.max_pending is not None:
+                            with server._classify_lock:
+                                server._classify_inflight -= len(images)
                     scores = [float(x) for x in s]
                     out["class_index"] = [int(i) for i in idx]
                     out["class_name"] = [detector.class_names[i]

@@ -93,7 +93,11 @@ def load_train_state(path: str,
             sharding = getattr(t, "sharding", None)
             new_leaves.append(jax.device_put(arr, sharding)
                               if sharding is not None else arr)
-        step = jax.device_put(np.asarray(data["__step"]))
+        # step stays HOST numpy: the jitted train step places it on first
+        # call, and resume's log line can read it without a d2h — on
+        # tunneled dev TPUs a process's first device readback loads a
+        # remote executable costing minutes (CLAUDE.md)
+        step = np.asarray(data["__step"])
         epoch = int(data["__epoch"])
     params, opt_state = jax.tree_util.tree_unflatten(treedef, new_leaves)
     return TrainState(params, opt_state, step), epoch

@@ -66,6 +66,12 @@ def test_classify_images_matches_scores(detector):
     # so the class with the max similarity is what the score came from
     one_idx, one_scores = detector.classify_images(imgs[0])
     assert one_idx[0] == idx[0]
+    # same input validation as score_images
+    with pytest.raises(TypeError, match="uint8"):
+        detector.classify_images(imgs.astype(np.float32) / 255.0)
+    with pytest.raises(ValueError, match="preprocessed"):
+        detector.classify_images(
+            np.zeros((1, 128, 128, 3), dtype=np.uint8))
 
 
 def test_calibrate_and_is_id(detector):
@@ -129,6 +135,11 @@ def test_maha_serving(detector, tmp_path):
         expect = np.asarray(mahalanobis_score(feats, mu, prec))
         np.testing.assert_allclose(maha, expect, rtol=1e-4, atol=1e-4)
         assert not np.allclose(maha, mcm_scores)
+        # classify must score through the SAME maha path — a calibrated
+        # threshold has to mean the same thing on both entry points
+        idx, cls_scores = detector.classify_images(imgs)
+        np.testing.assert_allclose(cls_scores, maha, rtol=1e-4, atol=1e-4)
+        assert ((idx >= 0) & (idx < len(detector.class_names))).all()
     finally:
         detector._maha = None  # restore for other tests (module fixture)
 

@@ -267,8 +267,12 @@ def test_overload_sheds_with_503(detector):
         data = _jpeg_bytes(np.random.default_rng(5))
         status, body, _ = _request(srv, "POST", "/v1/score", data)
         assert status == 503
+        # classify bypasses the batcher but sheds against the same budget
+        status, body, _ = _request(srv, "POST", "/v1/score?classify=1",
+                                   data)
+        assert status == 503
         status, body, _ = _request(srv, "GET", "/metrics")
-        assert "mcm_overloaded_total 1" in body.decode()
+        assert "mcm_overloaded_total 2" in body.decode()
 
 
 def test_concurrent_clients_coalesce(server, detector):
