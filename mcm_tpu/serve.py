@@ -254,6 +254,27 @@ class OODDetector:
             done += chunk
         return idx, scores
 
+    def warmup(self, include_features: bool = False, log=None) -> None:
+        """Compile-and-execute every batch bucket before serving traffic.
+
+        Buckets compile lazily on first use — minutes per executable on a
+        tunneled dev TPU (CLAUDE.md) — so without warmup the first
+        request of each size eats that latency and a reachable /healthz
+        overstates readiness.  Warms the scoring path for every bucket
+        (the Mahalanobis route when templates are loaded), plus the
+        ``features`` executables when ``include_features`` (needed by
+        ``classify_images`` on non-maha detectors)."""
+        s = self.image_size
+        for b in self.batch_sizes:
+            zero = self.step.put_batch(np.zeros((b, s, s, 3), np.uint8))
+            # readback, not block_until_ready: the only reliable barrier
+            # on tunneled dev platforms
+            np.asarray(self._score_device(zero))
+            if include_features and self._maha is None:
+                np.asarray(self.step.features(self.params, zero))
+            if log:
+                log(f"warmed bucket {b}")
+
     def score_files(self, paths: Sequence[str],
                     num_workers: Optional[int] = None) -> np.ndarray:
         """Decode (native C++ pipeline, PIL fallback) + score image files.

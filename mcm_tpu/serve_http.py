@@ -505,6 +505,13 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                         "batch buckets must divide the data axis")
     p.add_argument("--model-parallel", type=int, default=1,
                    help="tensor-parallel span inside the mesh")
+    p.add_argument("--warmup", default="score",
+                   choices=["none", "score", "all"],
+                   help="compile+execute batch buckets BEFORE binding the "
+                        "port, so a reachable /healthz means ready "
+                        "('all' also warms the classify/features path; "
+                        "'none' starts fast but the first request per "
+                        "bucket pays the compile)")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
@@ -537,6 +544,12 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         thr = detector.calibrate(detector.score_files(paths),
                                  tpr=args.calibrate_tpr)
         log.info("threshold @ TPR %.2f = %.6f", args.calibrate_tpr, thr)
+
+    if args.warmup != "none":
+        log.info("warming %d bucket(s) before binding (%s)",
+                 len(detector.batch_sizes), args.warmup)
+        detector.warmup(include_features=args.warmup == "all",
+                        log=lambda m: log.info("%s", m))
 
     server = OODServer(detector, host=args.host, port=args.port,
                        max_wait_ms=args.max_wait_ms,

@@ -52,6 +52,18 @@ def test_score_files_matches_score_images(detector, tmp_path):
                                rtol=5e-3, atol=5e-4)
 
 
+def test_warmup_compiles_buckets(detector):
+    logs = []
+    detector.warmup(include_features=True, log=logs.append)
+    assert logs == [f"warmed bucket {b}" for b in detector.batch_sizes]
+    # warmup must not perturb scoring
+    rng = np.random.default_rng(11)
+    imgs = rng.integers(0, 256, size=(2, 224, 224, 3), dtype=np.uint8)
+    s1 = detector.score_images(imgs)
+    detector.warmup()
+    np.testing.assert_array_equal(s1, detector.score_images(imgs))
+
+
 def test_classify_images_matches_scores(detector):
     rng = np.random.default_rng(7)
     imgs = rng.integers(0, 256, size=(6, 224, 224, 3), dtype=np.uint8)
