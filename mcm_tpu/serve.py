@@ -217,12 +217,22 @@ class OODDetector:
         ``score_images`` compiles it on the first classify per bucket —
         minutes on a tunneled dev TPU (CLAUDE.md), one-time per process.
         """
+        from mcm_tpu.scores.clip_scores import (CLIP_SCORES,
+                                                _scores_from_logits_host)
         images_u8 = self._validate_images(images_u8, "classify_images")
+        if self._maha is None and self.cfg.score not in CLIP_SCORES:
+            # e.g. score="odin": its input-perturbation score has no
+            # host-from-logits form — mixing families behind one
+            # threshold would be silent corruption, so refuse
+            raise ValueError(
+                f"classify_images supports {sorted(CLIP_SCORES)} and "
+                f"Mahalanobis templates; this detector scores with "
+                f"{self.cfg.score!r} — use score_images")
         if self._text_host is None:
             # one-time d2h of the prompt features (pays the tunnel's
-            # first-readback executable load — hence lazy)
+            # first-readback executable load — hence lazy; warmup(
+            # include_features=True) pulls it up front)
             self._text_host = np.asarray(self.text_feats, np.float32)
-        from mcm_tpu.scores.clip_scores import _scores_from_logits_host
         n = images_u8.shape[0]
         idx = np.empty((n,), np.int64)
         scores = np.empty((n,), np.float32)
@@ -232,25 +242,20 @@ class OODDetector:
             batch = self._pad_to_bucket(images_u8[done:done + chunk])
             feats_dev = self.step.features(self.params,
                                            self.step.put_batch(batch))
+            feats = np.asarray(feats_dev, np.float32)[:chunk]
+            fn = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
+            logits = fn @ self._text_host.T
+            idx[done:done + chunk] = np.argmax(logits, axis=-1)
             if self._maha is not None:
-                # score EXACTLY like _score_device — mixing score
-                # families behind one threshold would be silent
-                # corruption
+                # score EXACTLY like _score_device — the calibrated
+                # threshold must mean the same thing on every entry
+                # point (pinned by test_maha_serving)
                 mu, prec, norm = self._maha
                 maha = self.step.maha(feats_dev, mu, prec, normalize=norm)
                 scores[done:done + chunk] = np.asarray(maha)[:chunk]
-                feats = np.asarray(feats_dev, np.float32)[:chunk]
-                logits = None
             else:
-                feats = np.asarray(feats_dev, np.float32)[:chunk]
-                fn = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
-                logits = fn @ self._text_host.T
                 scores[done:done + chunk] = _scores_from_logits_host(
                     logits, self.cfg.T)[self.cfg.score].astype(np.float32)
-            if logits is None:
-                fn = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
-                logits = fn @ self._text_host.T
-            idx[done:done + chunk] = np.argmax(logits, axis=-1)
             done += chunk
         return idx, scores
 
@@ -270,10 +275,17 @@ class OODDetector:
             # readback, not block_until_ready: the only reliable barrier
             # on tunneled dev platforms
             np.asarray(self._score_device(zero))
-            if include_features and self._maha is None:
+            if include_features:
+                # classify_images reads back the raw feature arrays on
+                # every detector (maha included) — warm that executable
+                # and its d2h too
                 np.asarray(self.step.features(self.params, zero))
             if log:
                 log(f"warmed bucket {b}")
+        if include_features and self._text_host is None:
+            # classify's lazy prompt-feature d2h — minutes on first use
+            # through a tunnel (CLAUDE.md), so pull it during warmup
+            self._text_host = np.asarray(self.text_feats, np.float32)
 
     def score_files(self, paths: Sequence[str],
                     num_workers: Optional[int] = None) -> np.ndarray:
@@ -352,7 +364,8 @@ class MicroBatcher:
 
     def __init__(self, detector: OODDetector, max_wait_ms: float = 5.0,
                  max_batch: Optional[int] = None,
-                 max_pending: Optional[int] = None):
+                 max_pending: Optional[int] = None,
+                 extra_load=None):
         biggest = detector.batch_sizes[-1]
         if max_batch is None:
             max_batch = biggest
@@ -363,6 +376,11 @@ class MicroBatcher:
         self.max_wait = max_wait_ms / 1e3
         self.max_batch = max_batch
         self.max_pending = max_pending
+        # co-located non-batcher device work (the HTTP classify path)
+        # counts against the same budget in BOTH directions: submit adds
+        # extra_load() to its headroom check, and that path checks
+        # .pending before dispatching
+        self._extra_load = extra_load or (lambda: 0)
         self.n_batches = 0
         self.n_images = 0
         self._queue: queue.SimpleQueue = queue.SimpleQueue()
@@ -399,10 +417,11 @@ class MicroBatcher:
             # sentinel — nothing can race past close() into a dead queue
             if self._closed:
                 raise RuntimeError("MicroBatcher is closed")
-            if (self.max_pending is not None
-                    and self._outstanding >= self.max_pending):
+            load = (self._outstanding + self._extra_load()
+                    if self.max_pending is not None else 0)
+            if self.max_pending is not None and load >= self.max_pending:
                 raise Overloaded(
-                    f"{self._outstanding} requests already pending "
+                    f"{load} requests already pending "
                     f"(max_pending={self.max_pending})")
             fut: Future = Future()
             fut.add_done_callback(self._on_done)

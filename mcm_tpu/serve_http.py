@@ -193,14 +193,19 @@ class OODServer:
                  max_pending: Optional[int] = 4096,
                  max_body_bytes: int = MAX_BODY_BYTES):
         self.detector = detector
-        self.batcher = MicroBatcher(detector, max_wait_ms=max_wait_ms,
-                                    max_pending=max_pending)
-        self.metrics = ServeMetrics()
-        self.max_body_bytes = max_body_bytes
         # classify requests bypass the batcher, but they shed against the
-        # same max_pending budget — this counts their in-flight images
+        # same max_pending budget — this counts their in-flight images.
+        # The extra_load hook reads the int WITHOUT _classify_lock
+        # (GIL-atomic): it runs under the batcher's own lock, and taking
+        # _classify_lock there would invert the handler's
+        # batcher.pending → _classify_lock order into a deadlock.
         self._classify_inflight = 0
         self._classify_lock = threading.Lock()
+        self.batcher = MicroBatcher(detector, max_wait_ms=max_wait_ms,
+                                    max_pending=max_pending,
+                                    extra_load=lambda: self._classify_inflight)
+        self.metrics = ServeMetrics()
+        self.max_body_bytes = max_body_bytes
         handler = _make_handler(self)
         try:
             self._httpd = ThreadingHTTPServer((host, port), handler)
@@ -383,8 +388,12 @@ def _make_handler(server: OODServer):
                     # batcher enforces, or unbounded handler threads
                     # could dispatch unbounded device work.
                     if batcher.max_pending is not None:
+                        # read batcher.pending OUTSIDE _classify_lock:
+                        # it takes the batcher lock, whose holder may
+                        # call our extra_load hook
+                        batcher_load = batcher.pending
                         with server._classify_lock:
-                            load = (batcher.pending
+                            load = (batcher_load
                                     + server._classify_inflight)
                             if load + len(images) > batcher.max_pending:
                                 raise Overloaded(

@@ -84,6 +84,31 @@ def test_classify_images_matches_scores(detector):
     with pytest.raises(ValueError, match="preprocessed"):
         detector.classify_images(
             np.zeros((1, 128, 128, 3), dtype=np.uint8))
+    # scores the host can't reproduce from logits (odin's perturbation)
+    # are refused, not silently swapped for a different family
+    import dataclasses
+    orig_cfg = detector.cfg
+    try:
+        detector.cfg = dataclasses.replace(orig_cfg, score="odin")
+        with pytest.raises(ValueError, match="use score_images"):
+            detector.classify_images(imgs[:1])
+    finally:
+        detector.cfg = orig_cfg
+
+
+def test_microbatcher_extra_load_sheds(detector):
+    """External device work (the HTTP classify path) reported via
+    extra_load counts against submit()'s max_pending budget."""
+    from mcm_tpu.serve import MicroBatcher, Overloaded
+
+    img = np.zeros((224, 224, 3), np.uint8)
+    with MicroBatcher(detector, max_pending=2,
+                      extra_load=lambda: 2) as mb:
+        with pytest.raises(Overloaded):
+            mb.submit(img)
+    with MicroBatcher(detector, max_pending=2,
+                      extra_load=lambda: 1) as mb:
+        assert mb.submit(img).result() is not None
 
 
 def test_calibrate_and_is_id(detector):
