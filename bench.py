@@ -8,21 +8,30 @@ init is used so the bench runs without checkpoints).
 
 Prints ONE JSON line; headline keys:
   metric/value/unit  device-program throughput per chip (best window median)
-  vs_baseline        vs an A100 estimate (reference publishes no numbers —
+  vs_baseline        vs an A100 ESTIMATE (`vs_baseline_basis` says so in the
+                     artifact itself: the reference publishes no numbers —
                      BASELINE.md; ~1100 img/s PyTorch-1.10 fp32/TF32 HF CLIP
-                     ViT-B/16 at batch 512; kept for continuity)
+                     ViT-B/16 at batch 512 is a derivation, never measured)
   mfu_pct            hardware-grounded: achieved model FLOP/s over the v5e
                      chip's 197 TFLOPS bf16 peak — progress is measured
                      against the chip, not the estimate
   e2e_img_per_sec    decode-included: the production DataPipeline feeding
                      the same device step from real JPEG files (synthetic
                      tree, cached under /tmp) — honest end-to-end number
-  e2e_transfer_ceiling_img_per_sec
-                     the identical loop with decode removed — the host↔
-                     device transfer ceiling the e2e number runs under
-                     (the dev tunnel's H2D rate varies day to day)
-  window_img_per_sec all measurement windows (spread = contention check;
-                     this chip is shared across processes, CLAUDE.md)
+  e2e_decode_img_per_sec / e2e_transfer_ceiling_img_per_sec
+                     the e2e number decomposed: host JPEG decode alone, and
+                     the identical loop with decode removed (host↔device
+                     transfer ceiling; the dev tunnel's H2D rate varies day
+                     to day).  e2e should sit near min(decode, ceiling) =
+                     ``e2e_bound_img_per_sec``; if not, the per-segment
+                     contention counts say why
+  scales             per-checkpoint {ckpt, img_per_sec, mfu_pct} rows for
+                     ViT-B/32 and ViT-L/14 (opt out: MCM_BENCH_SCALES=0) so
+                     the cross-scale kernel win is a driver-captured artifact
+  contending_procs   per-segment CPU-delta contention counts — EVERY timed
+                     segment is snapshot-bracketed and retried on contention
+                     (this chip + 1-core host are shared across processes;
+                     a stray python process craters decode, CLAUDE.md)
 """
 
 import glob
@@ -40,6 +49,9 @@ WINDOWS = 3
 ITERS_PER_WINDOW = 12          # 36 timed iterations total
 E2E_IMAGES = 1536              # decode-included pass size
 E2E_TREE = "/tmp/mcm_bench_jpegs_v1"
+SCALE_CKPTS = ("ViT-B/32", "ViT-L/14")
+SCALE_WINDOWS = 2
+SCALE_ITERS = 8
 
 
 def vit_flops_per_image(cfg=None) -> float:
@@ -107,6 +119,31 @@ def contending_processes(before: dict, after: dict,
                if after.get(pid, t0) - t0 > min_ticks)
 
 
+def guarded(measure, key=lambda v: v, retries: int = 3, settle: int = 10):
+    """Run ``measure()`` bracketed by CPU snapshots of every other python
+    process; on contention retry up to ``retries`` times and keep the
+    cleanest attempt (fewest contenders, then highest ``key(value)``).
+
+    A contended segment silently depresses the judged number ~25%
+    (CLAUDE.md incident) — on a 1-core host this applies to DECODE segments
+    even more than device ones, so every timed segment goes through here
+    (VERDICT r3 item 1: round 3 guarded only the device windows and shipped
+    a contaminated e2e row)."""
+    best_val = None
+    best_c = 0
+    attempt = 0
+    while True:
+        before = python_cpu_snapshot()
+        val = measure()
+        c = contending_processes(before, python_cpu_snapshot())
+        if best_val is None or (c, -key(val)) < (best_c, -key(best_val)):
+            best_val, best_c = val, c
+        if best_c == 0 or attempt >= retries:
+            return best_val, best_c, attempt
+        attempt += 1
+        time.sleep(settle)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -119,12 +156,12 @@ def main():
 
     import dataclasses
 
+    from collections import deque
+
     # experimentation knobs: MCM_BENCH_CKPT=ViT-B/32|ViT-B/16|ViT-L/14,
     # MCM_BENCH_BATCH=N (headline metric/MFU stay defined for B/16@512)
     ckpt = os.environ.get("MCM_BENCH_CKPT", "ViT-B/16")
     batch = int(os.environ.get("MCM_BENCH_BATCH", BATCH))
-    cfg = CLIP_CONFIGS[ckpt]()
-    params = init_clip(0, cfg)
 
     n_dev = len(jax.devices())
     mesh = make_mesh(n_dev)
@@ -137,56 +174,57 @@ def main():
     mlp = os.environ.get("MCM_BENCH_MLP")
     if mlp:
         precision = dataclasses.replace(precision, mlp_impl=mlp)
-    step = EvalStep(cfg, score="MCM", precision=precision, mesh=mesh)
-    params = step.put_params(params)
 
     rng = np.random.default_rng(0)
-    text = rng.standard_normal((N_CLASSES, cfg.embed_dim)).astype(np.float32)
-    text = step.put_replicated(np.asarray(l2_normalize(jnp.asarray(text))))
 
-    # distinct device-resident batches (defeats any executable/result
-    # caching in tunneled dev environments); scores are read back one batch
-    # behind the dispatch, exactly like the production scoring loop.
-    # NOTE: block_until_ready is not a reliable sync on all dev platforms —
-    # host readback of each score vector is the ground-truth barrier.
-    dev_batches = [step.put_batch(
-        rng.integers(0, 256, size=(batch, 224, 224, 3), dtype=np.uint8))
-        for _ in range(4)]
-    for i in range(WARMUP):
-        np.asarray(step.score(params, dev_batches[i % 4], text))
+    def build_step(ckpt_name):
+        """(step, sharded params, replicated text) for one checkpoint."""
+        cfg = CLIP_CONFIGS[ckpt_name]()
+        step = EvalStep(cfg, score="MCM", precision=precision, mesh=mesh)
+        params = step.put_params(init_clip(0, cfg))
+        text = rng.standard_normal(
+            (N_CLASSES, cfg.embed_dim)).astype(np.float32)
+        text = step.put_replicated(np.asarray(l2_normalize(jnp.asarray(text))))
+        return cfg, step, params, text
 
-    from collections import deque
-
-    def run_windows():
-        """(windows, contenders): one set of timed windows bracketed by
-        CPU snapshots of every other python process."""
-        cpu_before = python_cpu_snapshot()
+    def device_windows(step, params, text, dev_batches, n_windows, n_iters):
+        """One set of timed device-throughput windows (img/s each).
+        Batches are dispatched one ahead of the readback, exactly like the
+        production scoring loop; host readback of each score vector is the
+        ground-truth barrier (block_until_ready is not reliable on axon)."""
         windows = []
-        for _ in range(WINDOWS):
+        for _ in range(n_windows):
             pending = deque()
             t0 = time.perf_counter()
-            for i in range(ITERS_PER_WINDOW):
+            for i in range(n_iters):
                 pending.append(step.score(params, dev_batches[i % 4], text))
                 if len(pending) > 1:
                     np.asarray(pending.popleft())
             while pending:
                 np.asarray(pending.popleft())
             dt = time.perf_counter() - t0
-            windows.append(batch * ITERS_PER_WINDOW / dt)
-        return windows, contending_processes(cpu_before,
-                                             python_cpu_snapshot())
+            windows.append(batch * n_iters / dt)
+        return windows
 
-    # a contended window silently depresses the judged number ~25%
-    # (CLAUDE.md incident) — don't just report contention, retry around it
-    # and keep the cleanest attempt
-    windows, contenders = run_windows()
-    retries = 0
-    while contenders > 0 and retries < 3:
-        time.sleep(10)
-        retries += 1
-        w2, c2 = run_windows()
-        if (c2, -max(w2)) < (contenders, -max(windows)):
-            windows, contenders = w2, c2
+    def make_dev_batches(step):
+        # distinct device-resident batches (defeats any executable/result
+        # caching in tunneled dev environments)
+        return [step.put_batch(
+            rng.integers(0, 256, size=(batch, 224, 224, 3), dtype=np.uint8))
+            for _ in range(4)]
+
+    cfg, step, params, text = build_step(ckpt)
+    dev_batches = make_dev_batches(step)
+    for i in range(WARMUP):
+        np.asarray(step.score(params, dev_batches[i % 4], text))
+
+    contention = {}
+    retries = {}
+
+    windows, contention["device"], retries["device"] = guarded(
+        lambda: device_windows(step, params, text, dev_batches,
+                               WINDOWS, ITERS_PER_WINDOW),
+        key=max)
     # best window = least interference from other users of the shared chip
     device_rate = max(windows)
     spread = (max(windows) - min(windows)) / max(windows) * 100
@@ -195,55 +233,118 @@ def main():
     mfu = (vit_flops_per_image(cfg) * per_chip
            / (V5E_PEAK_BF16_TFLOPS * 1e12) * 100)
 
-    # decode-included end-to-end: production pipeline from JPEG files
-    e2e = ceiling = None
+    # decode-included end-to-end, decomposed into decode / transfer / device
+    e2e = ceiling = decode_rate = bound = None
     if os.environ.get("MCM_BENCH_E2E", "1") != "0":
         from mcm_tpu.data import DataPipeline
         paths = ensure_jpeg_tree(E2E_IMAGES)
         ds = [(p, 0) for p in paths]
-        pipe = DataPipeline(ds, batch, num_workers=None, prefetch=3)
-        pending = deque()
-        n_imgs = 0
-        t0 = time.perf_counter()
-        for b in pipe:
-            pending.append(step.score(params, step.put_batch(b.images),
-                                      text))
-            n_imgs += b.valid
-            if len(pending) > 1:
+
+        def measure_decode():
+            """Host JPEG decode+preprocess alone (no device ops)."""
+            pipe = DataPipeline(ds, batch, num_workers=None, prefetch=3)
+            n_imgs = 0
+            t0 = time.perf_counter()
+            for b in pipe:
+                b.images[0, 0, 0, 0]  # touch: defeat any lazy materialize
+                n_imgs += b.valid
+            return n_imgs / (time.perf_counter() - t0)
+
+        def measure_e2e():
+            """Production pipeline from JPEG files through the device step."""
+            pipe = DataPipeline(ds, batch, num_workers=None, prefetch=3)
+            pending = deque()
+            n_imgs = 0
+            t0 = time.perf_counter()
+            for b in pipe:
+                pending.append(step.score(params, step.put_batch(b.images),
+                                          text))
+                n_imgs += b.valid
+                if len(pending) > 1:
+                    np.asarray(pending.popleft())
+            while pending:
                 np.asarray(pending.popleft())
-        while pending:
-            np.asarray(pending.popleft())
-        e2e = round(n_imgs / (time.perf_counter() - t0) / n_dev, 1)
+            return n_imgs / (time.perf_counter() - t0)
 
         # the same loop with decode removed = the host↔device transfer
         # ceiling (dev-tunnel H2D varies day to day: 281 → 164 img/s
         # observed) — e2e is honest only next to the ceiling it runs under
         host_batches = [rng.integers(0, 256, size=(batch, 224, 224, 3),
                                      dtype=np.uint8) for _ in range(3)]
-        n_iters = max(3, E2E_IMAGES // batch)
-        pending = deque()
-        t0 = time.perf_counter()
-        for i in range(n_iters):
-            pending.append(step.score(
-                params, step.put_batch(host_batches[i % 3]), text))
-            if len(pending) > 1:
+        n_ceiling_iters = max(3, E2E_IMAGES // batch)
+
+        def measure_ceiling():
+            pending = deque()
+            t0 = time.perf_counter()
+            for i in range(n_ceiling_iters):
+                pending.append(step.score(
+                    params, step.put_batch(host_batches[i % 3]), text))
+                if len(pending) > 1:
+                    np.asarray(pending.popleft())
+            while pending:
                 np.asarray(pending.popleft())
-        while pending:
-            np.asarray(pending.popleft())
-        ceiling = round(batch * n_iters / (time.perf_counter() - t0)
-                        / n_dev, 1)
+            return batch * n_ceiling_iters / (time.perf_counter() - t0)
+
+        d, contention["decode"], retries["decode"] = guarded(measure_decode)
+        decode_rate = round(d / n_dev, 1)
+        e, contention["e2e"], retries["e2e"] = guarded(measure_e2e)
+        e2e = round(e / n_dev, 1)
+        c, contention["ceiling"], retries["ceiling"] = guarded(
+            measure_ceiling)
+        ceiling = round(c / n_dev, 1)
+        # what a perfectly-pipelined e2e could reach on this host today
+        bound = round(min(decode_rate, ceiling), 1)
+
+    # cross-scale rows (new compiles — LAST, so a failed remote compile
+    # can't contaminate the segments above; CLAUDE.md ordering rule)
+    scales = []
+    if (os.environ.get("MCM_BENCH_SCALES", "1") != "0"
+            and ckpt == "ViT-B/16" and batch == BATCH):
+        for scale_ckpt in SCALE_CKPTS:
+            try:
+                s_cfg, s_step, s_params, s_text = build_step(scale_ckpt)
+                s_batches = make_dev_batches(s_step)
+                for i in range(2):
+                    np.asarray(s_step.score(s_params, s_batches[i % 4],
+                                            s_text))
+                w, c, _ = guarded(
+                    lambda: device_windows(s_step, s_params, s_text,
+                                           s_batches, SCALE_WINDOWS,
+                                           SCALE_ITERS),
+                    key=max)
+                rate = max(w) / n_dev
+                scales.append({
+                    "ckpt": scale_ckpt,
+                    "img_per_sec": round(rate, 1),
+                    "mfu_pct": round(vit_flops_per_image(s_cfg) * rate
+                                     / (V5E_PEAK_BF16_TFLOPS * 1e12) * 100,
+                                     1),
+                    "contending_procs": c,
+                })
+                del s_step, s_params, s_text, s_batches
+            except Exception as exc:  # a scale row must not kill the bench
+                scales.append({"ckpt": scale_ckpt,
+                               "error": f"{type(exc).__name__}: {exc}"})
 
     print(json.dumps({
         "metric": "images_per_sec_per_chip",
         "value": round(per_chip, 1),
         "unit": "img/s",
         "vs_baseline": round(per_chip / A100_REFERENCE_IMG_PER_SEC, 3),
+        "vs_baseline_basis": "estimate",
+        "baseline_img_per_sec": A100_REFERENCE_IMG_PER_SEC,
+        "baseline_note": "A100 HF-CLIP B/16 batch-512 PyTorch estimate "
+                         "(reference publishes no numbers; never measured "
+                         "— no GPU in this environment; BASELINE.md)",
         "mfu_pct": round(mfu, 1),
         "e2e_img_per_sec": e2e,
+        "e2e_decode_img_per_sec": decode_rate,
         "e2e_transfer_ceiling_img_per_sec": ceiling,
+        "e2e_bound_img_per_sec": bound,
+        "scales": scales,
         "window_img_per_sec": [round(w / n_dev, 1) for w in windows],
         "window_spread_pct": round(spread, 1),
-        "contending_procs": contenders,
+        "contending_procs": contention,
         "contention_retries": retries,
     }))
 

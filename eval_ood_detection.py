@@ -19,7 +19,21 @@ the checkpoint automatically.
 
 import argparse
 import os
-import sys
+
+
+class _RecordExplicit(argparse.Action):
+    """Store the value AND the fact it was given on the command line.
+
+    ``--feat_dim`` keeps the reference's default (512) for surface
+    compatibility, but the value is derived from the checkpoint unless the
+    user passed it explicitly — argparse can't distinguish "default" from
+    "typed the default", and scanning ``sys.argv`` misses the abbreviated
+    prefixes argparse accepts (``--feat 768``), so the action records it at
+    parse time."""
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        setattr(namespace, self.dest, values)
+        setattr(namespace, f"_{self.dest}_explicit", True)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -58,6 +72,7 @@ def build_parser() -> argparse.ArgumentParser:
                              "reference reads but never registers)")
     # Mahalanobis flags (quirky type=bool kept for drop-in compatibility)
     parser.add_argument("--feat_dim", type=int, default=512,
+                        action=_RecordExplicit,
                         help="compat only; derived from --CLIP_ckpt")
     parser.add_argument("--normalize", type=bool, default=False,
                         help="use normalized features for Maha score")
@@ -124,8 +139,7 @@ def main():
         # the reference's) would false-positive the contradiction warning
         # on every L/14 run where the dim is correctly derived as 768
         feat_dim=(args.feat_dim
-                  if any(a.split("=")[0] == "--feat_dim" for a in sys.argv)
-                  else None),
+                  if getattr(args, "_feat_dim_explicit", False) else None),
         normalize=bool(args.normalize),
         generate=bool(args.generate),
         template_dir=args.template_dir,

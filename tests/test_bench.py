@@ -35,3 +35,64 @@ def test_contending_processes_cpu_delta():
         after = dict(before)
         after[pid] = before[pid] + 1000
         assert bench.contending_processes(before, after) == 1
+
+
+def test_guarded_clean_first_attempt(monkeypatch):
+    """No contention → one measurement, zero retries."""
+    import bench
+    monkeypatch.setattr(bench, "python_cpu_snapshot", lambda: {})
+    calls = []
+    val, contenders, retries = bench.guarded(lambda: calls.append(1) or 42.0)
+    assert (val, contenders, retries) == (42.0, 0, 0)
+    assert len(calls) == 1
+
+
+def test_guarded_retries_and_keeps_cleanest(monkeypatch):
+    """Contended first attempt → retry; the clean attempt wins even when
+    its value is lower (contamination inflates nothing here, but the tie
+    rule is (fewest contenders, then highest value))."""
+    import bench
+    snaps = iter([{1: 0}, {1: 1000},    # attempt 1: pid 1 burned CPU
+                  {1: 1000}, {1: 1000}])  # attempt 2: quiet
+    monkeypatch.setattr(bench, "python_cpu_snapshot", lambda: next(snaps))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    vals = iter([99.0, 42.0])
+    val, contenders, retries = bench.guarded(lambda: next(vals))
+    assert (val, contenders, retries) == (42.0, 0, 1)
+
+
+def test_guarded_exhausts_retries_under_sustained_contention(monkeypatch):
+    """Contention on every attempt → returns best-value attempt, reports
+    the contender count so the artifact is explicitly flagged."""
+    import bench
+    monkeypatch.setattr(bench, "python_cpu_snapshot",
+                        _AlternatingSnapshot())
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    vals = iter([10.0, 30.0, 20.0, 25.0])
+    val, contenders, retries = bench.guarded(lambda: next(vals), retries=3)
+    assert val == 30.0
+    assert contenders == 1
+    assert retries == 3
+
+
+class _AlternatingSnapshot:
+    """Every (before, after) pair shows pid 1 burning CPU."""
+
+    def __init__(self):
+        self.t = 0
+
+    def __call__(self):
+        self.t += 1000
+        return {1: self.t}
+
+
+def test_guarded_key_function(monkeypatch):
+    """Window lists compare by the supplied key (max), not list order."""
+    import bench
+    snaps = iter([{1: 0}, {1: 1000}, {}, {}])
+    monkeypatch.setattr(bench, "python_cpu_snapshot", lambda: next(snaps))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    vals = iter([[5.0, 50.0], [10.0, 20.0]])
+    val, contenders, retries = bench.guarded(lambda: next(vals), key=max)
+    assert val == [10.0, 20.0]   # clean attempt beats contended-but-faster
+    assert contenders == 0
