@@ -22,9 +22,13 @@ Prints ONE JSON line; headline keys:
                      the e2e number decomposed: host JPEG decode alone, and
                      the identical loop with decode removed (host↔device
                      transfer ceiling; the dev tunnel's H2D rate varies day
-                     to day).  e2e should sit near min(decode, ceiling) =
-                     ``e2e_bound_img_per_sec``; if not, the per-segment
-                     contention counts say why
+                     to day).  A healthy e2e sits within ~15% of
+                     min(decode, ceiling) = ``e2e_bound_img_per_sec``:
+                     above it when decode fully overlaps transfer/device
+                     dispatch, slightly below when decode and dispatch
+                     share this host's single core.  An e2e far below the
+                     bound means trouble — the per-segment contention
+                     counts say why
   scales             per-checkpoint {ckpt, img_per_sec, mfu_pct} rows for
                      ViT-B/32 and ViT-L/14 (opt out: MCM_BENCH_SCALES=0) so
                      the cross-scale kernel win is a driver-captured artifact
@@ -146,13 +150,11 @@ def guarded(measure, key=lambda v: v, retries: int = 3, settle: int = 10):
 
 def main():
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from mcm_tpu.config import CLIP_CONFIGS, Precision
     from mcm_tpu.models.init import init_clip
     from mcm_tpu.parallel import EvalStep, make_mesh
-    from mcm_tpu.scores import l2_normalize
 
     import dataclasses
 
@@ -184,8 +186,10 @@ def main():
         params = step.put_params(init_clip(0, cfg))
         text = rng.standard_normal(
             (N_CLASSES, cfg.embed_dim)).astype(np.float32)
-        text = step.put_replicated(np.asarray(l2_normalize(jnp.asarray(text))))
-        return cfg, step, params, text
+        # normalize in numpy: eager device math here would pay axon's ~60 s
+        # first-execution remote compile PER new text shape (CLAUDE.md)
+        text /= np.linalg.norm(text, axis=-1, keepdims=True)
+        return cfg, step, params, step.put_replicated(text)
 
     def device_windows(step, params, text, dev_batches, n_windows, n_iters):
         """One set of timed device-throughput windows (img/s each).
@@ -197,7 +201,8 @@ def main():
             pending = deque()
             t0 = time.perf_counter()
             for i in range(n_iters):
-                pending.append(step.score(params, dev_batches[i % 4], text))
+                pending.append(step.score(
+                    params, dev_batches[i % len(dev_batches)], text))
                 if len(pending) > 1:
                     np.asarray(pending.popleft())
             while pending:
@@ -292,7 +297,11 @@ def main():
         c, contention["ceiling"], retries["ceiling"] = guarded(
             measure_ceiling)
         ceiling = round(c / n_dev, 1)
-        # what a perfectly-pipelined e2e could reach on this host today
+        # serial-decomposition reference point, not a hard ceiling: the
+        # pipelined e2e loop overlaps decode with H2D/device work (e2e can
+        # exceed the bound when decode is the min) but decode and dispatch
+        # also share this host's single core (e2e can trail the bound by
+        # ~10-15% when the ceiling is the min).  Healthy = within ~15%.
         bound = round(min(decode_rate, ceiling), 1)
 
     # cross-scale rows (new compiles — LAST, so a failed remote compile

@@ -47,21 +47,30 @@ def test_two_process_eval_matches_single_process(tmp_path):
     env["XLA_FLAGS"] = " ".join(
         flags + ["--xla_force_host_platform_device_count=2"])
 
-    procs = [subprocess.Popen(
-        [sys.executable, os.path.join(TESTS, "multihost_worker.py"),
-         str(i), "2", coordinator, out_path],
-        env=env, cwd=str(tmp_path), stdout=subprocess.PIPE,
-        stderr=subprocess.STDOUT, text=True) for i in range(2)]
-    outputs = []
+    # worker output goes to FILES, not pipes: the two workers run lockstep
+    # collectives, and a sequentially-drained PIPE that fills its buffer
+    # would block one worker mid-collective and deadlock both until timeout
+    log_paths = [str(tmp_path / f"worker{i}.log") for i in range(2)]
+    logs = [open(p, "w") for p in log_paths]
     try:
-        for p in procs:
-            out, _ = p.communicate(timeout=540)
-            outputs.append(out)
+        procs = [subprocess.Popen(
+            [sys.executable, os.path.join(TESTS, "multihost_worker.py"),
+             str(i), "2", coordinator, out_path],
+            env=env, cwd=str(tmp_path), stdout=logs[i],
+            stderr=subprocess.STDOUT, text=True) for i in range(2)]
+        try:
+            for p in procs:
+                p.wait(timeout=540)
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
     finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
-    for p, out in zip(procs, outputs):
+        for f in logs:
+            f.close()
+    for p, path in zip(procs, log_paths):
+        with open(path) as f:
+            out = f.read()
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
 
     got = np.load(out_path)
