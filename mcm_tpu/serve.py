@@ -268,9 +268,18 @@ class OODDetector:
         overstates readiness.  Warms the scoring path for every bucket
         (the Mahalanobis route when templates are loaded), plus the
         ``features`` executables when ``include_features`` (needed by
-        ``classify_images`` on non-maha detectors)."""
+        ``classify_images`` on non-maha detectors).
+
+        Buckets warm **concurrently** (one thread each): the remote
+        compile helper overlaps first executions of distinct programs
+        (tools/concurrent_firstexec_probe.py — 2 concurrent first execs
+        in 3.3 s vs 17.0 s serial), so never-compiled shape families
+        start in ~max, not ~sum, of the per-bucket compiles; if a
+        platform serializes compiles this degrades to the old serial
+        cost."""
         s = self.image_size
-        for b in self.batch_sizes:
+
+        def warm_one(b: int) -> None:
             zero = self.step.put_batch(np.zeros((b, s, s, 3), np.uint8))
             # readback, not block_until_ready: the only reliable barrier
             # on tunneled dev platforms
@@ -282,6 +291,15 @@ class OODDetector:
                 np.asarray(self.step.features(self.params, zero))
             if log:
                 log(f"warmed bucket {b}")
+
+        if len(self.batch_sizes) == 1:
+            warm_one(self.batch_sizes[0])
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(len(self.batch_sizes)) as pool:
+                # list() re-raises the first worker failure, preserving
+                # the serial loop's error contract
+                list(pool.map(warm_one, self.batch_sizes))
         if include_features and self._text_host is None:
             # classify's lazy prompt-feature d2h — minutes on first use
             # through a tunnel (CLAUDE.md), so pull it during warmup
