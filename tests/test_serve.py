@@ -55,13 +55,32 @@ def test_score_files_matches_score_images(detector, tmp_path):
 def test_warmup_compiles_buckets(detector):
     logs = []
     detector.warmup(include_features=True, log=logs.append)
-    assert logs == [f"warmed bucket {b}" for b in detector.batch_sizes]
+    # buckets warm concurrently (one thread each — serve.py::warmup), so
+    # completion ORDER is nondeterministic; every bucket must appear once
+    assert sorted(logs) == sorted(f"warmed bucket {b}"
+                                  for b in detector.batch_sizes)
     # warmup must not perturb scoring
     rng = np.random.default_rng(11)
     imgs = rng.integers(0, 256, size=(2, 224, 224, 3), dtype=np.uint8)
     s1 = detector.score_images(imgs)
     detector.warmup()
     np.testing.assert_array_equal(s1, detector.score_images(imgs))
+
+
+def test_warmup_propagates_bucket_failure(detector, monkeypatch):
+    """The concurrent warmup keeps the serial loop's error contract: a
+    bucket that fails to warm raises out of warmup() (pool.map re-raises
+    the first worker exception)."""
+    real_put = detector.step.put_batch
+
+    def failing_put(batch):
+        if batch.shape[0] == detector.batch_sizes[-1]:
+            raise RuntimeError("synthetic bucket-compile failure")
+        return real_put(batch)
+
+    monkeypatch.setattr(detector.step, "put_batch", failing_put)
+    with pytest.raises(RuntimeError, match="synthetic bucket-compile"):
+        detector.warmup()
 
 
 def test_classify_images_matches_scores(detector):
