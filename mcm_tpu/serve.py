@@ -25,7 +25,8 @@ import os
 import queue
 import threading
 import time
-from concurrent.futures import Future, InvalidStateError
+from concurrent.futures import (FIRST_EXCEPTION, Future, InvalidStateError,
+                                ThreadPoolExecutor, wait)
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
@@ -69,6 +70,8 @@ class OODDetector:
         self.cfg = cfg
         self.image_size = image_size
         self.batch_sizes = tuple(sorted(batch_sizes))
+        if not self.batch_sizes:
+            raise ValueError("batch_sizes must be non-empty")
         self.params, tokenizer, self.step = build_model_and_step(cfg)
         from mcm_tpu.parallel.mesh import DATA_AXIS
         dp = self.step.mesh.shape[DATA_AXIS]
@@ -270,13 +273,26 @@ class OODDetector:
         ``features`` executables when ``include_features`` (needed by
         ``classify_images`` on non-maha detectors).
 
-        Buckets warm **concurrently** (one thread each): the remote
-        compile helper overlaps first executions of distinct programs
-        (tools/concurrent_firstexec_probe.py — 2 concurrent first execs
-        in 3.3 s vs 17.0 s serial), so never-compiled shape families
-        start in ~max, not ~sum, of the per-bucket compiles; if a
-        platform serializes compiles this degrades to the old serial
-        cost."""
+        Single-process meshes warm their buckets **concurrently** (one
+        thread each): the remote compile helper overlaps first executions
+        of distinct programs (tools/{concurrent_firstexec,
+        concurrent_tower,warmup_parallel}_probe.py — e.g. 4 fresh
+        production-size programs in 6.9 s concurrent vs 718.6 s serial),
+        so never-compiled shape families start in ~max, not ~sum, of the
+        per-bucket compiles; a platform that serializes compiles degrades
+        to the old serial cost.  The ``log`` callback is then invoked
+        from the worker threads in completion order — it must be
+        thread-safe.  A bucket that fails raises out of warmup as soon as
+        its failure lands; sibling bucket compiles already in flight run
+        to completion in the background (they cannot be cancelled
+        mid-dispatch) and their executables remain usable.
+
+        Multi-process meshes (``jax.process_count() > 1``) keep the
+        serial loop: every process in a multi-controller SPMD job must
+        enqueue the same executables in the same order, and per-process
+        thread scheduling would make bucket-program launch order diverge
+        across processes (collective deadlock / mismatched exchanges on
+        TP meshes)."""
         s = self.image_size
 
         def warm_one(b: int) -> None:
@@ -292,14 +308,22 @@ class OODDetector:
             if log:
                 log(f"warmed bucket {b}")
 
-        if len(self.batch_sizes) == 1:
-            warm_one(self.batch_sizes[0])
+        import jax
+        if len(self.batch_sizes) == 1 or jax.process_count() > 1:
+            for b in self.batch_sizes:
+                warm_one(b)
         else:
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(len(self.batch_sizes)) as pool:
-                # list() re-raises the first worker failure, preserving
-                # the serial loop's error contract
-                list(pool.map(warm_one, self.batch_sizes))
+            pool = ThreadPoolExecutor(len(self.batch_sizes))
+            try:
+                futs = [pool.submit(warm_one, b) for b in self.batch_sizes]
+                done, _ = wait(futs, return_when=FIRST_EXCEPTION)
+                for f in done:   # fail fast: first failure raises now,
+                    f.result()   # not after every in-flight compile
+                for f in futs:
+                    f.result()
+            finally:
+                # never block error propagation on in-flight compiles
+                pool.shutdown(wait=False)
         if include_features and self._text_host is None:
             # classify's lazy prompt-feature d2h — minutes on first use
             # through a tunnel (CLAUDE.md), so pull it during warmup

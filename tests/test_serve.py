@@ -67,10 +67,18 @@ def test_warmup_compiles_buckets(detector):
     np.testing.assert_array_equal(s1, detector.score_images(imgs))
 
 
+def test_empty_batch_sizes_rejected():
+    from mcm_tpu.serve import OODDetector
+    with pytest.raises(ValueError, match="batch_sizes must be non-empty"):
+        OODDetector(class_names=["a"], allow_random_weights=True,
+                    batch_sizes=())
+
+
 def test_warmup_propagates_bucket_failure(detector, monkeypatch):
     """The concurrent warmup keeps the serial loop's error contract: a
-    bucket that fails to warm raises out of warmup() (pool.map re-raises
-    the first worker exception)."""
+    bucket that fails to warm raises out of warmup() as soon as the
+    failure lands (fail-fast wait(FIRST_EXCEPTION), not after every
+    in-flight sibling compile)."""
     real_put = detector.step.put_batch
 
     def failing_put(batch):
