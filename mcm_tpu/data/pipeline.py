@@ -61,7 +61,8 @@ class DataPipeline:
         self.dataset = dataset
         self.batch_size = batch_size
         self.image_size = image_size
-        self.num_workers = num_workers or min(32, os.cpu_count() or 4)
+        from mcm_tpu.runtime.native import default_decode_threads
+        self.num_workers = num_workers or default_decode_threads()
         self.prefetch = max(1, prefetch)
         self.drop_remainder = drop_remainder
         self.fast_decode = fast_decode
@@ -116,16 +117,23 @@ class DataPipeline:
             paths.append(path)
             labels[row] = label
 
-        images = np.zeros((self.local_batch_size, size, size, 3),
+        # np.empty, not zeros: every row [0, len(paths)) is written by the
+        # decoders below and the padding tail is replicated (or zeroed for
+        # an empty stripe) — a zero-fill would touch ~38 MB/batch for
+        # nothing on the decode-bound host
+        images = np.empty((self.local_batch_size, size, size, 3),
                           dtype=np.uint8)
         todo = list(range(len(paths)))
-        if self.use_native:
+        if self.use_native and paths:
             from mcm_tpu.runtime.native import decode_batch
+            # decode straight into the batch buffer (saves a ~38 MB
+            # memcpy per batch); failed rows are overwritten by the
+            # PIL fallback below
             out, status = decode_batch(paths, size,
                                        n_threads=self.num_workers,
-                                       fast=self.fast_decode)
+                                       fast=self.fast_decode,
+                                       out=images[:len(paths)])
             if out is not None:
-                images[:len(paths)] = out
                 todo = [i for i in range(len(paths)) if status[i] != 0]
         if todo:  # PIL fallback (non-JPEG formats, corrupt files)
             if len(todo) > 1 and self.num_workers > 1:
@@ -143,6 +151,8 @@ class DataPipeline:
         if local_valid:  # replicate last real row into padding rows
             images[local_valid:] = images[local_valid - 1]
             labels[local_valid:] = labels[local_valid - 1]
+        else:  # empty stripe: keep all-padding batches deterministic
+            images[:] = 0
         return Batch(images, labels, hi - lo)  # valid = GLOBAL count
 
     # -- iteration ------------------------------------------------------------
@@ -167,7 +177,8 @@ class DataPipeline:
             except BaseException as e:  # surface worker errors to consumer
                 q.put(("error", e))
 
-        thread = threading.Thread(target=producer, daemon=True)
+        thread = threading.Thread(target=producer, daemon=True,
+                                  name="mcm-pipeline-producer")
         thread.start()
         try:
             while True:
@@ -179,11 +190,20 @@ class DataPipeline:
                 yield payload
         finally:
             stop.set()
-            while not q.empty():
-                try:
-                    q.get_nowait()
-                except queue.Empty:
-                    break
+            # Drain AND join: draining frees a slot for a producer blocked
+            # in q.put, and the join bounds it — an unjoined producer
+            # would keep decoding a full batch with num_workers native
+            # threads after an early consumer exit, silently contending
+            # with whatever pipeline runs next (the 1-core-host failure
+            # mode CLAUDE.md warns benchmarks about).  At most one
+            # in-flight _decode_batch to wait out.
+            while thread.is_alive():
+                while not q.empty():
+                    try:
+                        q.get_nowait()
+                    except queue.Empty:
+                        break
+                thread.join(timeout=0.1)
 
 
 def collect_scores(score_batches: Sequence[np.ndarray],

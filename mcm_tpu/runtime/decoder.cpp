@@ -94,6 +94,18 @@ bool decode_jpeg_src(FILE* f, const unsigned char* buf, unsigned long len,
     jpeg_mem_src(&cinfo, const_cast<unsigned char*>(buf), len);
   }
   jpeg_read_header(&cinfo, TRUE);
+  // Decompression-bomb guard: the serving path decodes untrusted bytes,
+  // and a ~1 KB JPEG whose SOF declares 65500x65500 would force a
+  // ~12.9 GB rgb allocation per pool thread.  Cap at PIL's default
+  // MAX_IMAGE_PIXELS (89,478,485) so a native reject falls back to the
+  // PIL path with its own bomb policy (warn above 1x, raise above 2x),
+  // bounding native allocations at ~256 MB/thread while keeping
+  // accepted-image behavior identical to the reference pipeline.
+  if (static_cast<double>(cinfo.image_width) *
+          static_cast<double>(cinfo.image_height) > 89478485.0) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
   cinfo.out_color_space = JCS_RGB;
 
   if (fast && out_size > 0) {
@@ -114,7 +126,12 @@ bool decode_jpeg_src(FILE* f, const unsigned char* buf, unsigned long len,
   w = cinfo.output_width;
   h = cinfo.output_height;
   const int stride = w * cinfo.output_components;
-  rgb.resize(static_cast<size_t>(stride) * h);
+  try {
+    rgb.resize(static_cast<size_t>(stride) * h);
+  } catch (...) {  // bad_alloc must not leak the live libjpeg state
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
   while (cinfo.output_scanline < cinfo.output_height) {
     unsigned char* row = rgb.data() +
         static_cast<size_t>(cinfo.output_scanline) * stride;
@@ -298,8 +315,16 @@ int run_pool(int n, int n_threads, int* status, DecodeOne decode_one) {
   };
   std::vector<std::thread> pool;
   const int k = std::min(n_threads, n);
-  pool.reserve(k);
-  for (int t = 0; t < k; ++t) pool.emplace_back(worker);
+  try {
+    pool.reserve(k);
+    // k - 1: the calling thread always joins the work below, so thread
+    // exhaustion (std::system_error from std::thread) can never abort
+    // the batch — with zero spawned threads it degrades to serial
+    for (int t = 0; t < k - 1; ++t) pool.emplace_back(worker);
+  } catch (...) {
+    // whatever threads did spawn keep draining `next`; fall through
+  }
+  worker();
   for (auto& th : pool) th.join();
   return failures.load();
 }
@@ -309,29 +334,42 @@ int run_pool(int n, int n_threads, int* status, DecodeOne decode_one) {
 extern "C" {
 
 // Decode one image file to out[size*size*3]. Returns 0 on success.
+// No C++ exception may cross this extern "C" boundary (ctypes cannot
+// unwind it; from a pool thread it would std::terminate the process) —
+// bad_alloc in the resample buffers/filters maps to status 3 and the
+// caller's per-image PIL fallback.
 int mcm_decode_one(const char* path, int size, unsigned char* out, int fast) {
-  std::vector<unsigned char> rgb;
-  int w = 0, h = 0;
-  if (!decode_jpeg(path, size, fast != 0, rgb, w, h)) return 1;
-  if (w < 1 || h < 1) return 2;
-  resize_crop(rgb, w, h, size, out);
-  return 0;
+  try {
+    std::vector<unsigned char> rgb;
+    int w = 0, h = 0;
+    if (!decode_jpeg(path, size, fast != 0, rgb, w, h)) return 1;
+    if (w < 1 || h < 1) return 2;
+    resize_crop(rgb, w, h, size, out);
+    return 0;
+  } catch (...) {
+    return 3;
+  }
 }
 
 // Decode one in-memory JPEG (e.g. an HTTP request body) to
-// out[size*size*3]. Returns 0 on success.
+// out[size*size*3]. Returns 0 on success. Same no-throw contract as
+// mcm_decode_one.
 int mcm_decode_mem(const unsigned char* data, long len, int size,
                    unsigned char* out, int fast) {
-  if (!data || len <= 0) return 1;
-  std::vector<unsigned char> rgb;
-  int w = 0, h = 0;
-  if (!decode_jpeg_src(nullptr, data, static_cast<unsigned long>(len), size,
-                       fast != 0, rgb, w, h)) {
-    return 1;
+  try {
+    if (!data || len <= 0) return 1;
+    std::vector<unsigned char> rgb;
+    int w = 0, h = 0;
+    if (!decode_jpeg_src(nullptr, data, static_cast<unsigned long>(len),
+                         size, fast != 0, rgb, w, h)) {
+      return 1;
+    }
+    if (w < 1 || h < 1) return 2;
+    resize_crop(rgb, w, h, size, out);
+    return 0;
+  } catch (...) {
+    return 3;
   }
-  if (w < 1 || h < 1) return 2;
-  resize_crop(rgb, w, h, size, out);
-  return 0;
 }
 
 // Decode n files with a thread pool into out[n*size*size*3];

@@ -114,14 +114,25 @@ def _load() -> Optional[ctypes.CDLL]:
                 return None
         try:
             lib = ctypes.CDLL(_SO)
-        except OSError as e:
-            warnings.warn(f"native decoder load failed ({e})")
-            try:  # a broken cache must not poison future processes
-                os.unlink(_SO)
-            except OSError:
-                pass
-            _failed = True
-            return None
+        except OSError as first_err:
+            # A truly corrupt cache (truncated .so) should be healed, but
+            # NEVER by unlinking: a transient dlopen failure (EMFILE/
+            # ENOMEM) in this process would delete a valid library other
+            # processes just built or are about to load.  Rebuild once —
+            # os.replace publishes atomically, so worst case we overwrite
+            # a valid cache with identical content — and only then give up
+            # (leaving the cache for processes that can load it).
+            lib = None
+            if os.path.exists(_SRC) and _build():
+                try:
+                    lib = ctypes.CDLL(_SO)
+                except OSError:
+                    pass
+            if lib is None:
+                warnings.warn(f"native decoder load failed ({first_err}); "
+                              "falling back to PIL")
+                _failed = True
+                return None
         lib.mcm_decode_one.restype = ctypes.c_int
         lib.mcm_decode_one.argtypes = [
             ctypes.c_char_p, ctypes.c_int,
@@ -152,6 +163,13 @@ def _load() -> Optional[ctypes.CDLL]:
 
 def native_available() -> bool:
     return _load() is not None
+
+
+def default_decode_threads() -> int:
+    """Decode-pool width when the caller doesn't pin one — shared by the
+    file/memory batch entry points and DataPipeline so the policy can't
+    drift between the offline and serving paths."""
+    return min(32, os.cpu_count() or 4)
 
 
 def decode_one(path: str, size: int = 224,
@@ -198,7 +216,7 @@ def decode_mem_batch(datas: Sequence[bytes], size: int = 224,
     status = np.zeros((n,), dtype=np.int32)
     arr = (ctypes.c_char_p * n)(*datas)
     lens = (ctypes.c_long * n)(*[len(d) for d in datas])
-    n_threads = n_threads or min(32, os.cpu_count() or 4)
+    n_threads = n_threads or default_decode_threads()
     lib.mcm_decode_mem_batch(
         arr, lens, n, size,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
@@ -208,21 +226,33 @@ def decode_mem_batch(datas: Sequence[bytes], size: int = 224,
 
 
 def decode_batch(paths: Sequence[str], size: int = 224,
-                 n_threads: int = 0, fast: bool = False
+                 n_threads: int = 0, fast: bool = False,
+                 out: Optional[np.ndarray] = None
                  ) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
     """(uint8 [N, size, size, 3], status [N]) — status≠0 rows failed and
-    must be re-decoded by the fallback.  (None, None) when unavailable."""
+    must be re-decoded by the fallback.  (None, None) when unavailable.
+
+    ``out``: optional preallocated C-contiguous uint8 [N, size, size, 3]
+    decode target — the hot pipeline decodes straight into its padded
+    batch buffer instead of paying an extra ~38 MB zero-fill + memcpy per
+    batch (failed rows may hold partial writes; the caller's fallback
+    overwrites them)."""
     lib = _load()
     if lib is None:
         return None, None
     n = len(paths)
-    out = np.empty((n, size, size, 3), dtype=np.uint8)
+    if out is None:
+        out = np.empty((n, size, size, 3), dtype=np.uint8)
+    elif (out.shape != (n, size, size, 3) or out.dtype != np.uint8
+            or not out.flags.c_contiguous):
+        raise ValueError(f"out must be C-contiguous uint8 "
+                         f"[{n}, {size}, {size}, 3]")
     status = np.zeros((n,), dtype=np.int32)
     # fsencode, not str.encode: surrogateescape filenames (as os.listdir
     # yields them) must reach the decoder as their on-disk bytes, not
     # crash the whole batch with UnicodeEncodeError
     arr = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
-    n_threads = n_threads or min(32, os.cpu_count() or 4)
+    n_threads = n_threads or default_decode_threads()
     lib.mcm_decode_batch(
         arr, n, size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
         n_threads, int(fast), status.ctypes.data_as(

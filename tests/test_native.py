@@ -148,6 +148,82 @@ def test_extraneous_data_jpeg_decodes_natively(tmp_path):
     assert np.array_equal(out[0], out[1]), "pixels must be unaffected"
 
 
+def _patch_sof_dims(data: bytes, h: int, w: int) -> bytes:
+    """Rewrite the SOF0/SOF2 declared dimensions of a baseline JPEG."""
+    i = 2
+    while i < len(data) - 1:
+        assert data[i] == 0xFF, "marker stream desync"
+        marker = data[i + 1]
+        seg_len = int.from_bytes(data[i + 2:i + 4], "big")
+        if marker in (0xC0, 0xC2):  # SOF0 / SOF2: [len][prec][h:2][w:2]...
+            return (data[:i + 5] + h.to_bytes(2, "big")
+                    + w.to_bytes(2, "big") + data[i + 9:])
+        i += 2 + seg_len
+    raise AssertionError("no SOF marker found")
+
+
+def test_decompression_bomb_rejected(tmp_path):
+    """A tiny JPEG whose SOF header declares huge dimensions must fail the
+    native decode (status != 0) instead of allocating gigabytes per pool
+    thread — the serving path feeds untrusted bytes (decoder.cpp bomb
+    guard, capped at PIL's default MAX_IMAGE_PIXELS so accepted images
+    behave identically to the PIL fallback)."""
+    import time
+
+    from mcm_tpu.runtime.native import decode_one_mem
+
+    good = tmp_path / "good.jpg"
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.integers(0, 255, (96, 128, 3), dtype=np.uint8)
+                    ).save(good, quality=90)
+    bomb = _patch_sof_dims(good.read_bytes(), 60000, 60000)
+    t0 = time.perf_counter()
+    assert decode_one_mem(bomb, 64) is None
+    assert time.perf_counter() - t0 < 5.0, "reject must be header-time"
+    # the real image still decodes (guard is far above normal photos)
+    assert decode_one_mem(good.read_bytes(), 64) is not None
+    # file path takes the same guard
+    p = tmp_path / "bomb.jpg"
+    p.write_bytes(bomb)
+    assert decode_one(str(p), 64) is None
+
+
+def test_decode_batch_into_preallocated_out(jpegs):
+    """out= decodes in place (the pipeline's zero-copy path) and rejects
+    wrong buffers."""
+    paths, _ = jpegs
+    ref, status_ref = decode_batch(paths[:3], 96, n_threads=2)
+    buf = np.empty((3, 96, 96, 3), dtype=np.uint8)
+    out, status = decode_batch(paths[:3], 96, n_threads=2, out=buf)
+    assert out is buf
+    np.testing.assert_array_equal(status, status_ref)
+    np.testing.assert_array_equal(buf, ref)
+    with pytest.raises(ValueError, match="C-contiguous"):
+        decode_batch(paths[:3], 96,
+                     out=np.empty((3, 96, 96, 3), np.uint8)[:, ::2])
+    with pytest.raises(ValueError, match="C-contiguous"):
+        decode_batch(paths[:3], 96, out=np.empty((2, 96, 96, 3), np.uint8))
+
+
+def test_pipeline_early_exit_joins_producer(tmp_path, jpegs):
+    """Breaking out of a pipeline iteration must not leave the producer
+    decoding in the background (it would silently contend with the next
+    pipeline on a small host)."""
+    import threading
+
+    from mcm_tpu.data.pipeline import DataPipeline
+
+    paths, _ = jpegs
+    ds = [(p, 0) for p in paths[:5]] * 8  # several batches
+    pipe = DataPipeline(ds, batch_size=4, image_size=64, num_workers=2)
+    it = iter(pipe)
+    batch = next(it)
+    assert batch.images.shape == (4, 64, 64, 3)
+    it.close()  # triggers the finally: stop + drain + join
+    assert not any(t.name == "mcm-pipeline-producer"
+                   for t in threading.enumerate())
+
+
 def test_host_tag_staleness(tmp_path, monkeypatch):
     """A cached .so built on a different CPU (mismatched host tag) must be
     treated as stale — -march=native code would SIGILL, and dlopen can't
