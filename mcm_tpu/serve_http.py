@@ -67,6 +67,43 @@ log = logging.getLogger("mcm_tpu.serve_http")
 #: reject absurd request bodies before reading them into memory
 MAX_BODY_BYTES = 64 * 1024 * 1024
 
+#: cap on decoded images per request: the decoded batch allocates
+#: size²·3 bytes per row (~150 KB at 224) regardless of how small the
+#: compressed rows are, so an images_b64 count bound — not just the body
+#: byte bound — is what keeps one request from demanding gigabytes
+MAX_IMAGES_PER_REQUEST = 1024
+
+#: untrusted image bytes may not declare more pixels than this (PIL's
+#: default MAX_IMAGE_PIXELS, the same cap the native decoder enforces —
+#: decoder.cpp bomb guard); PIL alone would still *decode* up to 2x this
+#: (~534 MB RGB) and only warn
+MAX_DECODE_PIXELS = 89_478_485
+
+
+def _pil_decode(data: bytes, size: int) -> np.ndarray:
+    """PIL fallback for bytes the native decoder can't/won't decode
+    (non-JPEG formats, quirks, or native unavailable).  Enforces the
+    same declared-pixels bomb cap as the native path — PIL by default
+    decodes up to ~178M px with only a warning."""
+    try:
+        from PIL import Image
+
+        from mcm_tpu.data.transforms import preprocess_uint8
+        with Image.open(io.BytesIO(data)) as img:
+            w, h = img.size  # header-only; no pixel allocation yet
+            if w * h > MAX_DECODE_PIXELS:
+                raise ValueError(
+                    f"image declares {w}x{h} pixels "
+                    f"(limit {MAX_DECODE_PIXELS})")
+            return preprocess_uint8(img, size)
+    except ValueError:
+        raise
+    except Exception as e:  # noqa: BLE001 — surface as a client error
+        # type name only: PIL/codec messages can embed local detail the
+        # client has no business seeing (full text goes to the debug log)
+        log.debug("PIL decode failed: %s: %s", type(e).__name__, e)
+        raise ValueError(f"undecodable image ({type(e).__name__})")
+
 
 def decode_image_bytes(data: bytes, size: int = 224) -> np.ndarray:
     """Request bytes → preprocessed uint8 [size, size, 3] (resize shorter
@@ -78,14 +115,7 @@ def decode_image_bytes(data: bytes, size: int = 224) -> np.ndarray:
     out = native.decode_one_mem(data, size)
     if out is not None:
         return out
-    try:
-        from PIL import Image
-
-        from mcm_tpu.data.transforms import preprocess_uint8
-        with Image.open(io.BytesIO(data)) as img:
-            return preprocess_uint8(img, size)
-    except Exception as e:  # noqa: BLE001 — surface as a client error
-        raise ValueError(f"undecodable image ({type(e).__name__}: {e})")
+    return _pil_decode(data, size)
 
 
 def decode_images_bulk(datas: Sequence[bytes],
@@ -105,7 +135,12 @@ def decode_images_bulk(datas: Sequence[bytes],
             images.append(batch[i])
             continue
         try:
-            images.append(decode_image_bytes(data, size))
+            if batch is not None:
+                # the native pool already refused this row — retrying
+                # native.decode_one_mem would repeat the exact parse
+                images.append(_pil_decode(data, size))
+            else:  # no native library at all: full single-image path
+                images.append(decode_image_bytes(data, size))
         except ValueError as e:
             raise ValueError(f"images_b64[{i}]: {e}")
     return images
@@ -191,7 +226,8 @@ class OODServer:
     def __init__(self, detector: OODDetector, host: str = "0.0.0.0",
                  port: int = 8000, max_wait_ms: float = 5.0,
                  max_pending: Optional[int] = 4096,
-                 max_body_bytes: int = MAX_BODY_BYTES):
+                 max_body_bytes: int = MAX_BODY_BYTES,
+                 max_images_per_request: int = MAX_IMAGES_PER_REQUEST):
         self.detector = detector
         # classify requests bypass the batcher, but they shed against the
         # same max_pending budget — this counts their in-flight images.
@@ -206,6 +242,7 @@ class OODServer:
                                     extra_load=lambda: self._classify_inflight)
         self.metrics = ServeMetrics()
         self.max_body_bytes = max_body_bytes
+        self.max_images_per_request = max_images_per_request
         handler = _make_handler(self)
         try:
             self._httpd = ThreadingHTTPServer((host, port), handler)
@@ -282,8 +319,15 @@ def _make_handler(server: OODServer):
         protocol_version = "HTTP/1.1"
         # socket timeout: a client that stalls mid-body (or parks an idle
         # keep-alive connection) must release its handler thread — both
-        # for slowloris resistance and so close()'s join terminates
+        # for slowloris resistance and so close()'s join terminates.
+        # NOTE this is a per-recv idle timeout; a byte-trickling client
+        # resets it on every byte, so _read_body additionally enforces a
+        # whole-body deadline below.
         timeout = 30.0
+        # hard wall-clock bound on receiving one request body: bounds how
+        # long a slowloris-style trickler can pin a handler thread (and
+        # thus how long a graceful drain can hang on one connection)
+        body_deadline_s = 120.0
 
         def log_message(self, fmt, *args):  # noqa: N802 — stdlib name
             log.debug("%s %s", self.address_string(), fmt % args)
@@ -313,24 +357,78 @@ def _make_handler(server: OODServer):
             self.end_headers()
             self.wfile.write(body)
 
+        def _reject(self, status: int, msg: str,
+                    endpoint: str = "/v1/score") -> None:
+            # every framing rejection drops the connection: the unread
+            # (or unreadable) body would otherwise be parsed as the next
+            # request on this keep-alive connection (request smuggling /
+            # connection desync)
+            self.close_connection = True
+            self._reply(status, {"error": msg}, endpoint)
+
         def _read_body(self) -> Optional[bytes]:
-            try:
-                n = int(self.headers.get("Content-Length", "0"))
-            except ValueError:
-                n = -1
-            if n < 0 or n > server.max_body_bytes:
-                # the oversized body is NOT consumed — keep-alive would
-                # parse it as the next request line, so drop the connection
-                self.close_connection = True
-                self._reply(413, {"error": f"body must be 0 < length <= "
-                                           f"{server.max_body_bytes} bytes"},
-                            "/v1/score")
+            # http.server has no chunked-transfer support; per RFC 7230
+            # an unimplemented transfer coding must be rejected and the
+            # connection closed — silently framing by Content-Length
+            # would desync the connection into smuggled requests
+            if self.headers.get("Transfer-Encoding"):
+                self._reject(501, "Transfer-Encoding not supported")
                 return None
-            return self.rfile.read(n)
+            cls = self.headers.get_all("Content-Length") or ["0"]
+            # RFC 7230 3.3.2: differing duplicate Content-Lengths are a
+            # framing attack (front proxy and this server would frame the
+            # stream differently) — reject rather than pick one
+            if len({c.strip() for c in cls}) > 1:
+                self._reject(400, "conflicting Content-Length headers")
+                return None
+            cl = cls[0].strip()
+            # strict digits-only: Python int() also accepts '+16', '1_6'
+            # and unicode digits, which an intermediary may frame
+            # differently than this server
+            if not (cl.isascii() and cl.isdigit()):
+                self._reject(400, "malformed Content-Length")
+                return None
+            n = int(cl)
+            if n > server.max_body_bytes:
+                self._reject(413, f"body must be <= "
+                                  f"{server.max_body_bytes} bytes")
+                return None
+            # chunked reads under a whole-body deadline: rfile.read(n) in
+            # one call would reset the 30 s idle timeout on every recv,
+            # letting a byte-trickler hold this thread (and block drain)
+            # indefinitely
+            deadline = time.monotonic() + self.body_deadline_s
+            chunks, remaining = [], n
+            try:
+                while remaining:
+                    budget = deadline - time.monotonic()
+                    if budget <= 0:
+                        self._reject(408, "request body read timed out")
+                        return None
+                    self.connection.settimeout(min(self.timeout, budget))
+                    try:
+                        chunk = self.rfile.read(min(remaining, 1 << 20))
+                    except TimeoutError:
+                        self._reject(408, "request body read timed out")
+                        return None
+                    if not chunk:  # client closed mid-body
+                        self.close_connection = True
+                        return None
+                    chunks.append(chunk)
+                    remaining -= len(chunk)
+            finally:
+                self.connection.settimeout(self.timeout)
+            return b"".join(chunks)
 
         # -- endpoints ----------------------------------------------------
 
         def do_GET(self):  # noqa: N802 — stdlib name
+            if (self.headers.get("Transfer-Encoding")
+                    or self.headers.get("Content-Length", "0").strip()
+                    not in ("", "0")):
+                # a GET carrying a body would leave unread bytes to be
+                # parsed as the next request — close instead of desyncing
+                self.close_connection = True
             if self.path == "/healthz":
                 self._reply(200, {
                     "status": "ok",
@@ -354,12 +452,22 @@ def _make_handler(server: OODServer):
         def do_POST(self):  # noqa: N802 — stdlib name
             path, _, query = self.path.partition("?")
             if path != "/v1/score":
-                self._reply(404, {"error": f"no such path {self.path}"},
-                            "other")
+                # the unread POST body would desync this keep-alive
+                # connection into smuggled requests — close it
+                self._reject(404, f"no such path {self.path}", "other")
                 return
             body = self._read_body()
             if body is None:
                 return
+            if batcher.max_pending is not None:
+                # cheap pre-decode shed: decoding a shed-bound request
+                # first would pay its full CPU+memory cost anyway (the
+                # authoritative all-or-nothing check still runs at
+                # submit time below)
+                if batcher.pending + server._classify_inflight \
+                        > batcher.max_pending:
+                    self._reply(503, {"error": "overloaded"}, "/v1/score")
+                    return
             t0 = time.monotonic()
             classify = "classify=1" in query.split("&")
             ctype = (self.headers.get("Content-Type") or "").split(";")[0]
@@ -421,9 +529,14 @@ def _make_handler(server: OODServer):
             except Overloaded as e:
                 self._reply(503, {"error": str(e)}, "/v1/score")
                 return
-            except RuntimeError as e:
-                # batcher closed mid-shutdown
-                self._reply(503, {"error": str(e)}, "/v1/score")
+            except RuntimeError:
+                # batcher closed mid-shutdown, or a device/runtime
+                # failure (XlaRuntimeError subclasses RuntimeError) —
+                # those messages embed host paths/backend internals, so
+                # log them here and keep the client body generic
+                log.exception("score request failed")
+                self._reply(503, {"error": "backend unavailable"},
+                            "/v1/score")
                 return
             out["scores"] = scores
             if detector.threshold is not None:
@@ -440,6 +553,13 @@ def _make_handler(server: OODServer):
             if (not isinstance(payload, dict)
                     or not isinstance(payload.get("images_b64"), list)):
                 raise ValueError('JSON body must be {"images_b64": [...]}')
+            if len(payload["images_b64"]) > server.max_images_per_request:
+                # the decoded batch costs size²·3 bytes/row no matter how
+                # small the compressed rows are — a body-byte cap alone
+                # would let ~300k tiny rows demand ~45 GB
+                raise ValueError(
+                    f"too many images ({len(payload['images_b64'])} > "
+                    f"{server.max_images_per_request})")
             raws = []
             for i, b64 in enumerate(payload["images_b64"]):
                 try:
@@ -499,6 +619,11 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                    help="microbatch coalescing window")
     p.add_argument("--max-pending", type=int, default=4096,
                    help="load-shed bound on queued requests")
+    p.add_argument("--max-batch-images", type=int,
+                   default=MAX_IMAGES_PER_REQUEST,
+                   help="cap on images_b64 rows per JSON request (each "
+                        "decoded row costs ~150 KB regardless of its "
+                        "compressed size)")
     p.add_argument("--threshold", type=float, default=None,
                    help="ID/OOD decision threshold (enables is_id)")
     p.add_argument("--calibrate-dir", default=None,
@@ -562,7 +687,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
 
     server = OODServer(detector, host=args.host, port=args.port,
                        max_wait_ms=args.max_wait_ms,
-                       max_pending=args.max_pending)
+                       max_pending=args.max_pending,
+                       max_images_per_request=args.max_batch_images)
 
     # graceful drain: stop accepting, finish in-flight requests, then
     # exit — a SIGTERM'd replica must not drop scores it already owes.

@@ -224,6 +224,155 @@ def test_body_size_limit(detector):
         assert status == 200
 
 
+def _raw_exchange(server, raw: bytes, timeout=20.0) -> bytes:
+    """Send raw bytes, read until the server closes (rejection paths set
+    Connection: close, so recv terminates)."""
+    import socket
+    with socket.create_connection(("127.0.0.1", server.port),
+                                  timeout=timeout) as s:
+        s.sendall(raw)
+        data = b""
+        try:
+            while True:
+                chunk = s.recv(65536)
+                if not chunk:
+                    break
+                data += chunk
+        except TimeoutError:
+            pass
+        return data
+
+
+def test_chunked_transfer_rejected(server):
+    """http.server can't frame chunked bodies; RFC 7230 requires 501 +
+    close instead of silently framing by Content-Length (CL.TE request
+    smuggling)."""
+    resp = _raw_exchange(server, (
+        b"POST /v1/score HTTP/1.1\r\nHost: x\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+        b"5\r\nhello\r\n0\r\n\r\n"))
+    assert resp.startswith(b"HTTP/1.1 501")
+    assert b"connection: close" in resp.lower()
+
+
+def test_conflicting_content_lengths_rejected(server):
+    """Differing duplicate Content-Lengths = framing attack → 400 + close
+    (RFC 7230 3.3.2), never 'pick one'."""
+    resp = _raw_exchange(server, (
+        b"POST /v1/score HTTP/1.1\r\nHost: x\r\n"
+        b"Content-Length: 5\r\nContent-Length: 100\r\n\r\nxxxxx"))
+    assert resp.startswith(b"HTTP/1.1 400")
+
+
+def test_malformed_content_length_rejected(server):
+    """int() would accept '1_6'/'+16'/unicode digits that an intermediary
+    frames differently — must be 400 (not 413) + close."""
+    for bad in (b"1_6", b"+16", b"abc"):
+        resp = _raw_exchange(server, (
+            b"POST /v1/score HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Length: " + bad + b"\r\n\r\n"))
+        assert resp.startswith(b"HTTP/1.1 400"), bad
+
+
+def test_post_unknown_path_closes_connection(server):
+    """A 404'd POST's unread body must not be parsed as the next request
+    on the keep-alive connection (connection desync): exactly one
+    response comes back and the smuggled request inside the body is
+    never answered."""
+    body = b"GET /metrics HTTP/1.1\r\nHost: x\r\n\r\n"
+    resp = _raw_exchange(server, (
+        b"POST /nope HTTP/1.1\r\nHost: x\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body))
+    assert resp.startswith(b"HTTP/1.1 404")
+    assert resp.lower().count(b"http/1.1 ") == 1, "smuggled request answered"
+    assert b"mcm_requests_total" not in resp
+
+
+def test_body_read_deadline(detector):
+    """A byte-trickling client resets the per-recv idle timeout forever;
+    the whole-body deadline must cut it off with 408 + close (otherwise
+    one trickler pins a handler thread and blocks graceful drain)."""
+    import socket
+    import time as _time
+
+    from mcm_tpu.serve_http import OODServer
+    with OODServer(detector, host="127.0.0.1", port=0) as srv:
+        srv.start()
+        srv._httpd.RequestHandlerClass.body_deadline_s = 0.5
+        with socket.create_connection(("127.0.0.1", srv.port),
+                                      timeout=20) as s:
+            s.sendall(b"POST /v1/score HTTP/1.1\r\nHost: x\r\n"
+                      b"Content-Length: 10\r\n\r\nab")
+            _time.sleep(0.9)
+            s.sendall(b"c")  # still 7 bytes short; deadline passed
+            data = b""
+            while True:
+                chunk = s.recv(65536)
+                if not chunk:
+                    break
+                data += chunk
+        assert b"408" in data.split(b"\r\n", 1)[0]
+
+
+def test_too_many_images_rejected(detector):
+    from mcm_tpu.serve_http import OODServer
+    rng = np.random.default_rng(3)
+    tiny = base64.b64encode(_jpeg_bytes(rng, w=32, h=32)).decode()
+    with OODServer(detector, host="127.0.0.1", port=0,
+                   max_images_per_request=4) as srv:
+        srv.start()
+        status, body, _ = _request(
+            srv, "POST", "/v1/score",
+            json.dumps({"images_b64": [tiny] * 5}).encode(),
+            ctype="application/json")
+        assert status == 400
+        assert "too many images" in json.loads(body)["error"]
+        status, _, _ = _request(
+            srv, "POST", "/v1/score",
+            json.dumps({"images_b64": [tiny] * 4}).encode(),
+            ctype="application/json")
+        assert status == 200
+
+
+def test_decompression_bomb_image_rejected(server):
+    """Bytes declaring huge pixel dims must 400 on BOTH decode paths: the
+    native decoder's bomb guard refuses, and the PIL fallback enforces
+    the same cap instead of decoding up to ~534 MB with a warning."""
+    rng = np.random.default_rng(4)
+    data = bytearray(_jpeg_bytes(rng, w=64, h=48))
+    i = 2  # patch the SOF dims (see tests/test_native.py)
+    while True:
+        marker, seg_len = data[i + 1], int.from_bytes(data[i + 2:i + 4],
+                                                      "big")
+        if marker in (0xC0, 0xC2):
+            data[i + 5:i + 9] = (60000).to_bytes(2, "big") * 2
+            break
+        i += 2 + seg_len
+    status, body, _ = _request(server, "POST", "/v1/score", bytes(data))
+    assert status == 400
+    err = json.loads(body)["error"]
+    assert "declares" in err or "undecodable" in err
+
+
+def test_backend_errors_not_leaked(detector):
+    """RuntimeError text (XLA/driver internals, host paths) must go to the
+    server log, not the client body."""
+    from mcm_tpu.serve_http import OODServer
+    rng = np.random.default_rng(5)
+    with OODServer(detector, host="127.0.0.1", port=0) as srv:
+        srv.start()
+
+        def boom(images):
+            raise RuntimeError("secret /root/internal/path deadbeef")
+
+        srv.batcher.score = boom
+        status, body, _ = _request(srv, "POST", "/v1/score",
+                                   _jpeg_bytes(rng))
+        assert status == 503
+        assert b"secret" not in body and b"deadbeef" not in body
+        assert json.loads(body)["error"] == "backend unavailable"
+
+
 def test_unknown_paths_share_one_metrics_label(detector):
     """Client-controlled paths must not create unbounded metric keys (or
     inject Prometheus labels via quotes)."""
