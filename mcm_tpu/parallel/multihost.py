@@ -131,10 +131,12 @@ def assemble_global_outputs(outs: Sequence[np.ndarray],
     copies of the whole pass."""
     if not outs:
         return np.zeros((0,), dtype=np.float32)
-    local = np.stack([np.asarray(o) for o in outs])  # [n_batches, b, ...]
     if jax.process_count() == 1:
-        parts = [local[i, :v] for i, v in enumerate(valids)]
-        return np.concatenate(parts, axis=0)[:total].copy()
+        # exactly collect_scores semantics — share the implementation so
+        # the truncation/padding rules can't silently diverge
+        from mcm_tpu.data.pipeline import collect_scores
+        return collect_scores(outs, valids, total)
+    local = np.stack([np.asarray(o) for o in outs])  # [n_batches, b, ...]
 
     from jax.experimental import multihost_utils
 

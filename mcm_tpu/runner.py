@@ -18,6 +18,7 @@ plots → CSV, with the TPU-native execution model:
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
 import warnings
 from typing import Dict, List, Optional, Sequence
@@ -158,10 +159,24 @@ def _build_vit_linear(cfg: RunConfig):
     n_cls = np.asarray(params["head"]["b"]).shape[0]
     vit_cfg = dataclasses.replace(vit_cfg, num_classes=int(n_cls))
     mesh = make_mesh(cfg.n_devices, model_parallel=cfg.model_parallel)
+    _validate_batch_divisibility(cfg, mesh)
     step = VitLinearStep(vit_cfg, score=cfg.score, T=cfg.T,
                          precision=resolve_precision(cfg.precision),
                          mesh=mesh, noise_magnitude=cfg.noise_magnitude)
     return step.put_params(params), None, step
+
+
+def _validate_batch_divisibility(cfg: RunConfig, mesh) -> None:
+    """Fail BEFORE weights load/compile: on a multi-device DP mesh an
+    indivisible static batch dies minutes in, at the first sharded
+    dispatch, with an opaque shard_map divisibility error."""
+    from mcm_tpu.parallel.mesh import DATA_AXIS
+    dp = mesh.shape[DATA_AXIS]
+    if cfg.batch_size % dp:
+        raise ValueError(
+            f"--batch_size {cfg.batch_size} is not divisible by the "
+            f"data-parallel mesh size {dp}; pick a multiple (every batch "
+            f"is padded to the static batch size, so the tail is fine)")
 
 
 def build_model_and_step(cfg: RunConfig, log=None):
@@ -212,6 +227,7 @@ def build_model_and_step(cfg: RunConfig, log=None):
         tokenizer = _HashTokenizer(clip_cfg.text.vocab_size)
 
     mesh = make_mesh(cfg.n_devices, model_parallel=cfg.model_parallel)
+    _validate_batch_divisibility(cfg, mesh)
     step = EvalStep(clip_cfg, score=cfg.score if cfg.score != "maha" else "MCM",
                     T=cfg.T, precision=precision, mesh=mesh,
                     noise_magnitude=cfg.noise_magnitude)
@@ -272,48 +288,53 @@ def _make_pipe(dataset, cfg: RunConfig,
                         fast_decode=cfg.fast_decode)
 
 
-def score_dataset(step: EvalStep, params, dataset, text_feats,
-                  cfg: RunConfig, telemetry: Optional[Telemetry] = None,
-                  drop_remainder: bool = False) -> np.ndarray:
-    """Stream a dataset through the compiled score step."""
+def _stream_pass(step, dispatch, dataset, cfg: RunConfig,
+                 telemetry: Optional[Telemetry] = None,
+                 drop_remainder: bool = False, collect_labels: bool = False):
+    """The shared device-streaming loop (decode → H2D → dispatch →
+    one-batch-behind readback → dataset-order assembly) behind every
+    pass: scores, features, Mahalanobis.  ``dispatch(images)`` is the
+    per-batch device call."""
     tel = telemetry or Telemetry()
     pipe = _make_pipe(dataset, cfg, drop_remainder)
     stream = _StreamReadback(tel)
     valids: List[int] = []
+    labels: List[np.ndarray] = []
     for batch in pipe:
         with tel.stage("h2d"):
             images = step.put_batch(batch.images)
         with tel.stage("dispatch"):
-            out = step.score(params, images, text_feats)
+            out = dispatch(images)
         stream.push(out)  # drains the previous batch under stage("readback")
         valids.append(batch.valid)
+        if collect_labels:
+            labels.append(batch.labels)
         tel.add_images(batch.valid)
-    outs = stream.finish()
-
     total = (len(pipe) * cfg.batch_size if drop_remainder
              else pipe.num_samples)
-    return assemble_global_outputs(outs, valids, min(total, sum(valids)))
+    total = min(total, sum(valids)) if valids else 0
+    outs = assemble_global_outputs(stream.finish(), valids, total)
+    if collect_labels:
+        return outs, assemble_global_outputs(labels, valids, total)
+    return outs
+
+
+def score_dataset(step: EvalStep, params, dataset, text_feats,
+                  cfg: RunConfig,
+                  telemetry: Optional[Telemetry] = None) -> np.ndarray:
+    """Stream a dataset through the compiled score step.  (The reference
+    keeps the final partial batch for every CLIP score —
+    ``detection_util.py:249`` truncates, never drops — so there is no
+    drop_remainder here; only the maha OOD pass drops tails.)"""
+    return _stream_pass(step, lambda im: step.score(params, im, text_feats),
+                        dataset, cfg, telemetry)
 
 
 def extract_features(step: EvalStep, params, dataset, cfg: RunConfig,
                      telemetry: Optional[Telemetry] = None) -> tuple:
     """All image features + labels for a dataset (Mahalanobis templates)."""
-    tel = telemetry or Telemetry()
-    stream = _StreamReadback(tel)
-    pipe = _make_pipe(dataset, cfg)
-    valids, labels = [], []
-    for batch in pipe:
-        with tel.stage("h2d"):
-            images = step.put_batch(batch.images)
-        with tel.stage("dispatch"):
-            out = step.features(params, images)
-        stream.push(out)
-        valids.append(batch.valid)
-        labels.append(batch.labels)
-        tel.add_images(batch.valid)
-    total = min(pipe.num_samples, sum(valids))
-    feats = assemble_global_outputs(stream.finish(), valids, total)
-    return feats, assemble_global_outputs(labels, valids, total)
+    return _stream_pass(step, lambda im: step.features(params, im),
+                        dataset, cfg, telemetry, collect_labels=True)
 
 
 def _maha_templates(cfg: RunConfig, step: EvalStep, params, log,
@@ -331,6 +352,11 @@ def _maha_templates(cfg: RunConfig, step: EvalStep, params, log,
     tag = (f"{cfg.model}_{ckpt_tag}_{cfg.in_dataset}_{cfg.max_count}_"
            f"{cfg.normalize}" + ("_subset" if cfg.subset else ""))
     path = os.path.join(cfg.template_dir, f"templates_{tag}.npz")
+    # --resume honors an existing template cache even under the default
+    # --generate (regenerating templates a completed run already produced
+    # would re-extract the whole train set on device — against the
+    # device-free-resume contract)
+    regenerate = cfg.generate and not (cfg.resume and os.path.exists(path))
     if not cfg.generate and not os.path.exists(path):
         # migrating users: accept the reference's torch .pt template pair
         # (detection_util.py:175-176) and re-cache it natively
@@ -350,7 +376,7 @@ def _maha_templates(cfg: RunConfig, step: EvalStep, params, log,
                 f"--generate was disabled but no cached Mahalanobis "
                 f"templates exist at {path} (nor a reference-format pair at "
                 f"{mu_pt}); run once with --generate first")
-    if cfg.generate or not os.path.exists(path):
+    if regenerate or not os.path.exists(path):
         train_ds = set_train_loader(cfg.in_dataset, cfg.root_dir,
                                     subset=cfg.subset,
                                     max_count=cfg.max_count)
@@ -375,23 +401,12 @@ def maha_score_dataset(step: EvalStep, params, dataset, mu, prec,
                        telemetry: Optional[Telemetry] = None) -> np.ndarray:
     """Mahalanobis scoring pass.  Reference quirk preserved: OOD passes drop
     the final partial batch (``detection_util.py:189``)."""
-    tel = telemetry or Telemetry()
-    drop = not in_dist
-    pipe = _make_pipe(dataset, cfg, drop_remainder=drop)
-    stream = _StreamReadback(tel)
-    valids = []
-    for batch in pipe:
-        with tel.stage("h2d"):
-            images = step.put_batch(batch.images)
-        with tel.stage("dispatch"):
-            f = step.features(params, images)
-            out = step.maha(f, mu, prec, normalize=cfg.normalize)
-        stream.push(out)
-        valids.append(batch.valid)
-        tel.add_images(batch.valid)
-    total = len(pipe) * cfg.batch_size if drop else pipe.num_samples
-    return assemble_global_outputs(stream.finish(), valids,
-                                   min(total, sum(valids)))
+    def dispatch(images):
+        f = step.features(params, images)
+        return step.maha(f, mu, prec, normalize=cfg.normalize)
+
+    return _stream_pass(step, dispatch, dataset, cfg, telemetry,
+                        drop_remainder=not in_dist)
 
 
 def _log_id_accuracy(cfg: RunConfig, feats, labels, text_feats, log) -> None:
@@ -431,6 +446,62 @@ def _id_features_cached(step, params, val_ds, cfg: RunConfig, log,
     return feats, labels
 
 
+def _cache_meta(cfg: RunConfig) -> Dict[str, object]:
+    """The config fields that determine cached artifacts' NUMBERS (scores,
+    features, text features).  The reference-identical results layout keys
+    the cache directory by {in_dataset, score, model, ckpt, T, name} only —
+    every other numerically-relevant flag lives here, and ``--resume``
+    refuses caches whose recorded meta mismatches (silently reusing, say,
+    bf16-fast scores in a parity run, or single-template scores in an
+    ensemble run, would corrupt judged outputs).  batch_size is included
+    because the maha OOD tail-drop truncates at a batch boundary."""
+    return {
+        "clip_ckpt": cfg.clip_ckpt, "model": cfg.model, "score": cfg.score,
+        "T": cfg.T_str, "in_dataset": cfg.in_dataset,
+        "template_ensemble": cfg.template_ensemble,
+        "normalize": cfg.normalize, "precision": cfg.precision,
+        "image_size": cfg.image_size, "fast_decode": cfg.fast_decode,
+        "noise_magnitude": cfg.noise_magnitude,
+        "finetune_ckpt": cfg.finetune_ckpt,
+        "allow_random_weights": cfg.allow_random_weights,
+        "max_count": cfg.max_count, "subset": cfg.subset,
+        "batch_size": cfg.batch_size,
+    }
+
+
+def _check_cache_meta(cfg: RunConfig, log) -> RunConfig:
+    """Validate (and record) the cache fingerprint; on mismatch, disable
+    ``--resume`` for this run so stale artifacts are rescored rather than
+    silently mixed with fresh ones."""
+    meta_path = os.path.join(cfg.log_directory, "cache_meta.json")
+    meta = _cache_meta(cfg)
+    if cfg.resume:
+        old = None
+        try:
+            with open(meta_path) as f:
+                old = json.load(f)
+        except (OSError, ValueError):
+            pass
+        if old != meta:
+            if old is None:
+                why = "no cache_meta.json (artifacts predate the check)"
+            else:
+                diff = sorted(k for k in meta
+                              if old.get(k, "<absent>") != meta[k])
+                why = "changed: " + ", ".join(
+                    f"{k} {old.get(k, '<absent>')!r}→{meta[k]!r}"
+                    for k in diff)
+            warnings.warn(
+                f"--resume: cached artifacts in {cfg.log_directory} were "
+                f"produced under a different configuration ({why}); "
+                f"ignoring them and rescoring")
+            log.debug(f"resume disabled: cache meta mismatch ({why})")
+            cfg = dataclasses.replace(cfg, resume=False)
+    with open(meta_path, "w") as f:
+        json.dump(meta, f, indent=1)
+    return cfg
+
+
 def run_eval(cfg: RunConfig) -> Dict[str, Dict[str, float]]:
     """Full evaluation (reference ``main``, ``eval_ood_detection.py:53-99``).
 
@@ -438,6 +509,7 @@ def run_eval(cfg: RunConfig) -> Dict[str, Dict[str, float]]:
     setup_seed(cfg.seed)
     os.makedirs(cfg.log_directory, exist_ok=True)
     log = setup_log(cfg.log_directory, cfg.name)
+    cfg = _check_cache_meta(cfg, log)
     telemetry = Telemetry()
 
     params, tokenizer, step = build_model_and_step(cfg, log)
@@ -446,7 +518,6 @@ def run_eval(cfg: RunConfig) -> Dict[str, Dict[str, float]]:
     val_ds = set_val_loader(cfg.in_dataset, cfg.root_dir)
     test_labels = get_test_labels(cfg.in_dataset, val_ds)
 
-    mu = prec = None
     needs_text = cfg.score != "maha" and cfg.model != "vit-Linear"
     _text: Dict[str, np.ndarray] = {}
     _text_cache = os.path.join(
@@ -460,6 +531,12 @@ def run_eval(cfg: RunConfig) -> Dict[str, Dict[str, float]]:
         if not needs_text:
             return None
         if "dev" not in _text:
+            if ("host" not in _text and cfg.resume
+                    and os.path.exists(_text_cache)):
+                # a partial resume must upload the cached features, not
+                # re-run the text-tower encode (a fresh executable costs
+                # minutes on tunneled dev TPUs)
+                text_host()
             if "host" in _text:
                 _text["dev"] = step.put_replicated(_text["host"])
             else:
@@ -485,8 +562,16 @@ def run_eval(cfg: RunConfig) -> Dict[str, Dict[str, float]]:
                 np.savez(_text_cache, text_features=_text["host"])
         return _text["host"]
 
-    if cfg.score == "maha":
-        mu, prec = _maha_templates(cfg, step, params, log, telemetry)
+    _maha: Dict[str, object] = {}
+
+    def maha_templates():
+        """Lazy mu/prec: a fully-cached maha --resume must never build
+        templates (with the default --generate that would re-extract the
+        whole train set on device for values no dataset ends up using)."""
+        if "mu" not in _maha:
+            _maha["mu"], _maha["prec"] = _maha_templates(cfg, step, params,
+                                                         log, telemetry)
+        return _maha["mu"], _maha["prec"]
 
     def scores_for(dataset, ds_name, in_dist):
         if cfg.resume:
@@ -495,6 +580,7 @@ def run_eval(cfg: RunConfig) -> Dict[str, Dict[str, float]]:
                 log.debug(f"resume: loaded cached scores for {ds_name}")
                 return cached
         if cfg.score == "maha":
+            mu, prec = maha_templates()
             s = maha_score_dataset(step, params, dataset, mu, prec, cfg,
                                    in_dist, telemetry)
         else:
@@ -506,7 +592,13 @@ def run_eval(cfg: RunConfig) -> Dict[str, Dict[str, float]]:
     from mcm_tpu.utils.telemetry import maybe_profile
     # ODIN scores need the perturbed forward, so the shared-features fast
     # path below can't produce them — fall through to the normal score pass.
-    if cfg.eval_accuracy and cfg.score not in ("maha", "odin"):
+    # Parity runs also fall through: the fast path scores ID from features
+    # on the HOST (fp32 BLAS) while OOD sets score on the DEVICE, an
+    # ulp-level pipeline mix that a bit-level parity contract can't carry
+    # — in parity mode --eval_accuracy must not perturb scores at all, so
+    # it pays a second (device) ID pass for the accuracy features instead.
+    if (cfg.eval_accuracy and cfg.score not in ("maha", "odin")
+            and cfg.precision != "parity"):
         # single ID pass: extract features once, derive both the OOD scores
         # and the accuracy from them (no second encode epoch); features are
         # cached so --resume skips re-extraction too (not just scores)
@@ -534,7 +626,8 @@ def run_eval(cfg: RunConfig) -> Dict[str, Dict[str, float]]:
             if cfg.score == "maha":
                 warnings.warn("--eval_accuracy is ignored with --score maha "
                               "(no prompt features to classify against)")
-            else:  # odin: accuracy from a separate (cached) feature pass
+            else:  # odin/parity: accuracy from a separate (cached)
+                   # feature pass — scores stay pure device output
                 feats, labels = _id_features_cached(step, params, val_ds,
                                                     cfg, log, maybe_profile,
                                                     telemetry)

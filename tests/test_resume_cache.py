@@ -1,0 +1,134 @@
+"""--resume cache-fingerprint semantics and lazy/device-free resume
+invariants (runner._check_cache_meta, lazy maha templates, text cache).
+
+The reference-identical results layout keys the cache directory only by
+{in_dataset, score, model, ckpt, T, name}; every other numerically-
+relevant flag is guarded by cache_meta.json — a --resume under a changed
+config must rescore, never silently mix stale artifacts with fresh ones.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from util_synth import make_imagefolder_tree, make_pet_tree
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("resume")
+    root = tmp / "datasets"
+    make_pet_tree(str(root), per_breed=6)
+    make_imagefolder_tree(
+        str(root / "ImageNet_OOD_dataset" / "dtd" / "images"),
+        ["banded", "blotchy"], 5, color_bias=40)
+    return tmp, str(root)
+
+
+@pytest.fixture(autouse=True)
+def tiny(monkeypatch):
+    # structurally-identical tiny B/16 double (docs/TESTING.md): these are
+    # orchestration tests, model math is pinned elsewhere
+    monkeypatch.setenv("MCM_TPU_TEST_TINY_B16", "1")
+
+
+def _run(tmp, root, **over):
+    import warnings
+
+    from mcm_tpu.runner import RunConfig, run_eval
+
+    cwd = os.getcwd()
+    os.chdir(tmp)
+    try:
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            cfg = RunConfig(in_dataset="pet37", root_dir=root, batch_size=8,
+                            num_workers=2, allow_random_weights=True,
+                            n_devices=1, out_datasets=["dtd"], **over)
+            run_eval(cfg)
+        log_dir = os.path.join(str(tmp), cfg.log_directory)
+        return (np.load(os.path.join(log_dir, "ID_pet37_scores.npy")),
+                np.load(os.path.join(log_dir, "dtd_scores.npy")),
+                [str(r.message) for r in rec], log_dir)
+    finally:
+        os.chdir(cwd)
+
+
+def test_resume_meta_mismatch_rescores(workdir):
+    tmp, root = workdir
+    in1, out1, _, log_dir = _run(tmp, root, name="meta")
+    assert os.path.exists(os.path.join(log_dir, "cache_meta.json"))
+
+    # same config → caches reused untouched
+    in2, out2, warns, _ = _run(tmp, root, name="meta", resume=True)
+    np.testing.assert_array_equal(in1, in2)
+    np.testing.assert_array_equal(out1, out2)
+    assert not any("different configuration" in w for w in warns)
+
+    # a flag the results path does NOT encode changes → caches refused,
+    # everything rescored under the new config (80-template ensembling
+    # produces different text features, hence different scores)
+    in3, _, warns, _ = _run(tmp, root, name="meta", resume=True,
+                            template_ensemble=True)
+    assert any("different configuration" in w
+               and "template_ensemble" in w for w in warns)
+    assert not np.array_equal(in1, in3)
+
+    # the fingerprint now records the new config: resume is clean again
+    in4, _, warns, _ = _run(tmp, root, name="meta", resume=True,
+                            template_ensemble=True)
+    np.testing.assert_array_equal(in3, in4)
+    assert not any("different configuration" in w for w in warns)
+
+
+def test_maha_fully_cached_resume_builds_no_templates(workdir, monkeypatch):
+    """A fully-cached maha --resume must not touch templates at all (with
+    the default --generate, building them re-extracts the entire train
+    set on device for values nothing consumes)."""
+    tmp, root = workdir
+    tpl = os.path.join(str(tmp), "tpl_full")
+    _run(tmp, root, name="maha_full", score="maha", template_dir=tpl)
+
+    import mcm_tpu.runner as runner
+
+    def boom(*a, **k):
+        raise AssertionError("templates built on a fully-cached resume")
+
+    monkeypatch.setattr(runner, "_maha_templates", boom)
+    in2, out2, _, _ = _run(tmp, root, name="maha_full", score="maha",
+                           resume=True, template_dir=tpl)
+    assert np.isfinite(in2).all() and np.isfinite(out2).all()
+
+
+def test_maha_partial_resume_reuses_template_cache(workdir, monkeypatch):
+    """A partial maha --resume needs templates, but must load the cached
+    npz instead of re-extracting the train set (the default --generate
+    regenerates on non-resume runs only)."""
+    tmp, root = workdir
+    tpl = os.path.join(str(tmp), "tpl_part")
+    in1, out1, _, log_dir = _run(tmp, root, name="maha_part", score="maha",
+                                 template_dir=tpl)
+    os.unlink(os.path.join(log_dir, "dtd_scores.npy"))
+
+    import mcm_tpu.runner as runner
+
+    def boom(*a, **k):
+        raise AssertionError("train set re-extracted despite cached "
+                             "templates under --resume")
+
+    monkeypatch.setattr(runner, "extract_features", boom)
+    in2, out2, _, _ = _run(tmp, root, name="maha_part", score="maha",
+                           resume=True, template_dir=tpl)
+    np.testing.assert_array_equal(in1, in2)
+    np.testing.assert_array_equal(out1, out2)
+
+
+def test_batch_size_must_divide_data_mesh():
+    """Indivisible static batches must fail at build time with a clear
+    message, not minutes later at the first sharded dispatch."""
+    from mcm_tpu.runner import RunConfig, build_model_and_step
+
+    cfg = RunConfig(batch_size=6, n_devices=4, allow_random_weights=True)
+    with pytest.raises(ValueError, match="not divisible"):
+        build_model_and_step(cfg)

@@ -71,10 +71,14 @@ def test_streamed_scores_deterministic(setup):
 
 
 def test_drop_remainder_truncates(setup):
+    """The shared streaming loop's drop_remainder mode (used only by the
+    maha OOD pass — reference detection_util.py:189 tail-drop quirk)."""
+    from mcm_tpu.runner import _stream_pass
     ds, params, dev_params, step, text = setup
     cfg = RunConfig(batch_size=5, image_size=32, num_workers=2)
-    s = score_dataset(step, dev_params, ds, step.put_replicated(text), cfg,
-                      drop_remainder=True)
+    dev_text = step.put_replicated(text)
+    s = _stream_pass(step, lambda im: step.score(dev_params, im, dev_text),
+                     ds, cfg, drop_remainder=True)
     assert s.shape == (10,)  # 12 images, batch 5 → 2 full batches
 
 
