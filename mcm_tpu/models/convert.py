@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import os
 import re
+import warnings
+import zipfile
 from typing import Any, Dict, Optional
 
 import numpy as np
@@ -280,7 +282,21 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Params:
 
 
 def save_params(params: Params, path: str) -> None:
-    np.savez(path, **_flatten(params))
+    """Atomic write to EXACTLY ``path``: np.savez(str) appends ".npz" to
+    extension-less paths (the file would land somewhere the caller never
+    loads), and a crash mid-save must not leave a truncated zip that
+    bricks every later load of the cache."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        with open(tmp, "wb") as f:
+            np.savez(f, **_flatten(params))
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def load_params(path: str) -> Params:
@@ -331,7 +347,14 @@ def resolve_clip_params(ckpt_name: str,
     ckpt_dir = ckpt_dir or os.environ.get(_CKPT_DIR_ENV, "checkpoints")
     native = os.path.join(ckpt_dir, _sanitize(ckpt_name) + ".npz")
     if os.path.exists(native):
-        return load_params(native)
+        try:
+            return load_params(native)
+        except (ValueError, OSError, KeyError, zipfile.BadZipFile) as e:
+            # a corrupt cache (e.g. truncated by an old non-atomic save)
+            # must not brick resolution while a valid source checkpoint
+            # still sits right next to it — fall through and re-convert
+            warnings.warn(f"cached {native} is unreadable ({e}); "
+                          f"re-converting from the source checkpoint")
 
     repo_id = HF_CKPT_MAPPING[ckpt_name]
     # OpenAI's published filename for this architecture is exactly the

@@ -89,7 +89,12 @@ def load_train_state(path: str,
             if arr.shape != tuple(t.shape):
                 raise ValueError(f"{path}: leaf {i} shape {arr.shape} != "
                                  f"expected {tuple(t.shape)}")
-            arr = arr.astype(t.dtype)
+            if arr.dtype != np.dtype(t.dtype):
+                # same fail-loudly contract as structure/shape: silently
+                # casting (e.g. fp32 moments into a bf16 template) would
+                # resume a different trajectory with no error
+                raise ValueError(f"{path}: leaf {i} dtype {arr.dtype} != "
+                                 f"expected {np.dtype(t.dtype)}")
             sharding = getattr(t, "sharding", None)
             new_leaves.append(jax.device_put(arr, sharding)
                               if sharding is not None else arr)

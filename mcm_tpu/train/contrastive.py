@@ -28,17 +28,52 @@ from mcm_tpu.parallel import mesh as meshlib
 from mcm_tpu.scores.clip_scores import l2_normalize
 
 
+#: CLIP's temperature cap: logit_scale is clamped so exp(·) ≤ 100 after
+#: every update (OpenAI training recipe; pretrained checkpoints ship AT
+#: this cap, and an unclamped fine-tune drifts past it into softmax
+#: saturation and, eventually, exp overflow)
+MAX_LOGIT_SCALE = 4.6051702  # ln(100)
+
+
 def clip_contrastive_loss(image_feats: jax.Array, text_feats: jax.Array,
-                          logit_scale: jax.Array) -> jax.Array:
-    """Symmetric cross-entropy over the similarity matrix (fp32)."""
+                          logit_scale: jax.Array,
+                          positive_mask: Optional[jax.Array] = None
+                          ) -> jax.Array:
+    """Symmetric cross-entropy over the similarity matrix (fp32).
+
+    ``positive_mask`` ([B, B] bool, diagonal always true): marks pairs
+    whose captions are identical.  Class-name captions guarantee
+    duplicates once batch > n_classes — with plain arange labels those
+    duplicates are false negatives, putting a log(k) floor on the loss
+    and pushing identical text rows apart; soft targets spread each
+    row's mass uniformly over its true positives instead (multi-positive
+    InfoNCE).  ``None`` = all-distinct (exactly the classic loss)."""
     img = l2_normalize(image_feats).astype(jnp.float32)
     txt = l2_normalize(text_feats).astype(jnp.float32)
     scale = jnp.exp(logit_scale.astype(jnp.float32))
     logits = scale * jnp.dot(img, txt.T, preferred_element_type=jnp.float32)
-    labels = jnp.arange(logits.shape[0])
-    loss_i = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
-    loss_t = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels)
+    if positive_mask is None:
+        labels = jnp.arange(logits.shape[0])
+        loss_i = optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels)
+        loss_t = optax.softmax_cross_entropy_with_integer_labels(
+            logits.T, labels)
+        return 0.5 * (jnp.mean(loss_i) + jnp.mean(loss_t))
+    pos = positive_mask.astype(jnp.float32)
+    t_i = pos / pos.sum(-1, keepdims=True)
+    t_t = pos.T / pos.T.sum(-1, keepdims=True)
+    loss_i = -(jax.nn.log_softmax(logits, axis=-1) * t_i).sum(-1)
+    loss_t = -(jax.nn.log_softmax(logits.T, axis=-1) * t_t).sum(-1)
     return 0.5 * (jnp.mean(loss_i) + jnp.mean(loss_t))
+
+
+def _duplicate_caption_mask(input_ids: jax.Array,
+                            mask: jax.Array) -> jax.Array:
+    """[B, B] bool: rows whose (masked) token sequences are identical —
+    the true-positive structure of a class-caption batch, derived from
+    the tokens themselves so callers need no extra label plumbing."""
+    ids = jnp.where(mask.astype(bool), input_ids, -1)
+    return jnp.all(ids[:, None, :] == ids[None, :, :], axis=-1)
 
 
 class TrainState(NamedTuple):
@@ -58,7 +93,15 @@ def make_train_step(cfg: CLIPConfig,
     → (state, loss)``; batch sharded on the data axis, params/optimizer
     state TP-sharded, loss replicated.
     """
-    optimizer = optimizer or optax.adamw(1e-5, weight_decay=0.2)
+    if optimizer is None:
+        # CLIP recipe: weight decay on weight MATRICES only — decaying
+        # logit_scale, LayerNorm scales/biases, and linear biases (all
+        # ndim < 2) multiplicatively drags them from their pretrained
+        # values every step regardless of gradient
+        optimizer = optax.adamw(
+            1e-5, weight_decay=0.2,
+            mask=lambda params: jax.tree_util.tree_map(
+                lambda p: jnp.ndim(p) >= 2, params))
     mesh = mesh if mesh is not None else meshlib.make_mesh(1)
     meshlib.validate_tp(cfg, mesh)
     # Attention for training: XLA by default, by measurement.
@@ -102,7 +145,9 @@ def make_train_step(cfg: CLIPConfig,
                                 dtype=precision.activation_dtype)
         img = encode_image(params, x)
         txt = encode_text(params, input_ids, mask)
-        return clip_contrastive_loss(img, txt, params["logit_scale"])
+        return clip_contrastive_loss(
+            img, txt, params["logit_scale"],
+            positive_mask=_duplicate_caption_mask(input_ids, mask))
 
     def train_step(state: TrainState, images_u8, input_ids, mask):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, images_u8,
@@ -110,6 +155,10 @@ def make_train_step(cfg: CLIPConfig,
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
+        # the CLIP temperature clamp (training recipe; see MAX_LOGIT_SCALE)
+        params = {**params,
+                  "logit_scale": jnp.clip(params["logit_scale"],
+                                          0.0, MAX_LOGIT_SCALE)}
         return TrainState(params, opt_state, state.step + 1), loss
 
     def init_state(params) -> TrainState:

@@ -22,11 +22,17 @@ class LinearProbe(NamedTuple):
     b: jax.Array  # [C]
 
 
-def init_linear_probe(key: jax.Array, feat_dim: int,
+def init_linear_probe(seed: int, feat_dim: int,
                       n_classes: int) -> LinearProbe:
-    w = jax.random.normal(key, (feat_dim, n_classes),
-                          jnp.float32) * feat_dim ** -0.5
-    return LinearProbe(w, jnp.zeros((n_classes,), jnp.float32))
+    # numpy init, NOT jax.random: on the tunneled axon TPU every
+    # never-seen executable (jax.random.key/normal included) pays a
+    # minutes-scale remote load for microseconds of real work (CLAUDE.md;
+    # the CLIP init is numpy for the same reason)
+    import numpy as np
+    rng = np.random.Generator(np.random.SFC64(int(seed)))
+    w = rng.standard_normal((feat_dim, n_classes),
+                            dtype=np.float32) * feat_dim ** -0.5
+    return LinearProbe(jnp.asarray(w), jnp.zeros((n_classes,), jnp.float32))
 
 
 def probe_logits(probe: LinearProbe, features: jax.Array,
@@ -56,8 +62,8 @@ def make_linear_probe_step(optimizer: Optional[
         updates, opt_state = optimizer.update(grads, opt_state, probe)
         return optax.apply_updates(probe, updates), opt_state, loss, acc
 
-    def init_fn(key, feat_dim, n_classes):
-        probe = init_linear_probe(key, feat_dim, n_classes)
+    def init_fn(seed, feat_dim, n_classes):
+        probe = init_linear_probe(seed, feat_dim, n_classes)
         return probe, optimizer.init(probe)
 
     return init_fn, step_fn
@@ -66,19 +72,33 @@ def make_linear_probe_step(optimizer: Optional[
 def train_linear_probe(features, labels, n_classes: int, *, epochs: int = 10,
                        batch_size: int = 1024, seed: int = 0,
                        optimizer=None):
-    """Minibatch-train a probe over pre-extracted frozen features."""
+    """Minibatch-train a probe over pre-extracted frozen features.
+
+    Returns ``(probe, mean_loss, mean_acc)`` — final-epoch averages
+    weighted by batch size, not the last minibatch's numbers.  Batches
+    are full-size: the ragged remainder is folded into the last batch as
+    an overlap with the previous one (keeps ONE compiled step shape and
+    never reports a single-example metric; with per-epoch reshuffling the
+    slight duplication is noise)."""
     import numpy as np
     init_fn, step_fn = make_linear_probe_step(optimizer)
-    key = jax.random.key(seed)
-    probe, opt_state = init_fn(key, features.shape[1], n_classes)
+    probe, opt_state = init_fn(seed, features.shape[1], n_classes)
     n = features.shape[0]
+    batch_size = min(batch_size, n)
     rng = np.random.default_rng(seed)
-    loss = acc = None
+    mean_loss = mean_acc = float("nan")
     for _ in range(epochs):
         order = rng.permutation(n)
+        losses, accs = [], []
         for lo in range(0, n, batch_size):
+            if lo + batch_size > n:  # overlap, keep the static shape
+                lo = n - batch_size
             idx = order[lo:lo + batch_size]
             probe, opt_state, loss, acc = step_fn(
                 probe, opt_state, jnp.asarray(features[idx]),
                 jnp.asarray(labels[idx]))
-    return probe, float(loss), float(acc)
+            losses.append(loss)
+            accs.append(acc)
+        mean_loss = float(np.mean([np.asarray(l) for l in losses]))
+        mean_acc = float(np.mean([np.asarray(a) for a in accs]))
+    return probe, mean_loss, mean_acc

@@ -44,8 +44,16 @@ def train_clip(cfg: CLIPConfig, dataset, class_names: Sequence[str],
                params=None, num_workers: Optional[int] = None,
                image_size: Optional[int] = None,
                ckpt_path: Optional[str] = None, resume: bool = False,
+               label_permutation: Optional[np.ndarray] = None,
                log: Callable[[str], None] = print) -> TrainState:
     """Fine-tune CLIP contrastively on an ImageFolder-style dataset.
+
+    ``label_permutation`` maps a dataset label index to its row in
+    ``class_names`` (``data.labels.prompt_permutation``): ImageNet100's
+    class list is NOT in the ImageFolder sorted-wnid label order, and
+    training on unmapped labels would pair nearly every image with the
+    wrong class caption.  ``None`` = identity (class_names already in
+    label order).
 
     Each image is paired with the prompt of its class name; batches are
     reshuffled every epoch (seeded, reproducible).  Returns the final
@@ -76,6 +84,10 @@ def train_clip(cfg: CLIPConfig, dataset, class_names: Sequence[str],
                                   context_length=cfg.text.context_length)
     ids_all = np.asarray(ids_all, np.int32)
     mask_all = np.asarray(mask_all, np.int32)
+    if label_permutation is not None:
+        # reorder prompt rows into dataset-label order once, up front
+        ids_all = ids_all[label_permutation]
+        mask_all = mask_all[label_permutation]
 
     rng = np.random.default_rng(seed)
     n = len(dataset)
@@ -123,6 +135,12 @@ def train_clip(cfg: CLIPConfig, dataset, class_names: Sequence[str],
                    for l in leaves):
                 from mcm_tpu.train.checkpoint import save_train_state
                 save_train_state(state, state_path, epoch=epoch + 1)
+            else:
+                # a silent skip would make a later --resume quietly
+                # restart from epoch 0 with re-warmed optimizer state
+                log(f"WARNING: train-state sibling not written (params "
+                    f"span processes; save_train_state is single-host) — "
+                    f"--resume cannot continue this run from {state_path}")
     return state
 
 

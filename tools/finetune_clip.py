@@ -66,9 +66,21 @@ def main():
     out = args.out or (f"finetuned_{args.in_dataset}_"
                        f"{args.CLIP_ckpt.replace('/', '-')}.npz")
 
+    import jax
+    import jax.numpy as jnp
+
+    from mcm_tpu.data.labels import prompt_permutation
+
     train_clip(CLIP_CONFIGS[args.CLIP_ckpt](), train_ds, class_names,
                tokenizer, epochs=args.epochs, batch_size=args.batch_size,
-               seed=args.seed, optimizer=optax.adamw(args.lr),
+               # CLIP recipe: weight decay on weight matrices only (the
+               # make_train_step default does the same)
+               seed=args.seed, optimizer=optax.adamw(
+                   args.lr, mask=lambda p: jax.tree_util.tree_map(
+                       lambda x: jnp.ndim(x) >= 2, p)),
+               # ImageNet100 class names are NOT in label order — map
+               # labels to prompt rows like the evaluator does
+               label_permutation=prompt_permutation(args.in_dataset),
                precision=Precision.fast(),
                mesh=make_mesh(args.n_devices,
                               model_parallel=args.model_parallel),
