@@ -121,7 +121,19 @@ def get_measures(pos, neg, recall_level: float = 0.95
     """
     pos = np.array(pos[:]).reshape((-1, 1))
     neg = np.array(neg[:]).reshape((-1, 1))
-    examples = np.squeeze(np.vstack((pos, neg)))
+    if len(pos) == 0 or len(neg) == 0:
+        # fail as loudly as the reference (sklearn raises "Only one class
+        # present"): an empty side would otherwise yield silent NaN
+        # metrics — or a bare IndexError — written into judged results.
+        # The common trigger: an OOD set smaller than the batch size
+        # under --score maha, whose preserved tail-drop quirk
+        # (detection_util.py:189) discards every sample.
+        raise ValueError(
+            f"get_measures needs scores for both classes (got {len(pos)} "
+            f"ID, {len(neg)} OOD); with --score maha, OOD sets smaller "
+            f"than --batch_size lose all samples to the reference's "
+            f"partial-batch drop — use a smaller batch")
+    examples = np.squeeze(np.vstack((pos, neg)), axis=1)
     labels = np.zeros(len(examples), dtype=np.int32)
     labels[:len(pos)] += 1
 

@@ -26,11 +26,18 @@ from mcm_tpu.scores.clip_scores import CLIP_SCORES, compute_scores
 def _score_kernel(img_ref, txt_ref, o_ref, *, score: str, T: float,
                   n_classes: int):
     img = img_ref[:].astype(jnp.float32)                      # [blk, D]
-    norm = jax.lax.rsqrt(jnp.sum(img * img, axis=-1, keepdims=True))
+    # exact 1/sqrt + HIGHEST-precision dot, matching the XLA twin
+    # (clip_scores.similarity_logits passes precision="highest" per the
+    # CLAUDE.md rule): this 3-GFLOP epilogue is invisible in the profile,
+    # and logits feed parity-relevant scores — approximate rsqrt/bf16
+    # passes would make single-device TPU scores a systematically
+    # different population than the sharded/CPU "identical-math" path
+    norm = 1.0 / jnp.sqrt(jnp.sum(img * img, axis=-1, keepdims=True))
     imgn = img * norm
     txt = txt_ref[:].astype(jnp.float32)                      # [C, D]
     logits = jax.lax.dot_general(imgn, txt, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
     # mask the padded class columns (C padded to a lane multiple)
     col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     valid = col < n_classes
@@ -50,8 +57,13 @@ def _score_kernel(img_ref, txt_ref, o_ref, *, score: str, T: float,
     elif score == "energy":
         out = -(T * (jnp.log(z[:, 0]) + m[:, 0]))
     elif score == "entropy":
-        out = -jnp.sum(jnp.where(smax > 0, smax * jnp.log(smax), 0.0),
-                       axis=-1)
+        # NaN rows propagate (see clip_scores._scores_from_logits): the
+        # where() alone would emit -0.0 — a maximal-ID verdict — for a
+        # garbage feature row, because NaN > 0 is False
+        out = jnp.where(
+            jnp.isnan(jnp.sum(smax, axis=-1)), jnp.nan,
+            -jnp.sum(jnp.where(smax > 0, smax * jnp.log(smax), 0.0),
+                     axis=-1))
     elif score == "var":
         mean = jnp.sum(smax, axis=-1, keepdims=True) / n_classes
         sq = jnp.where(valid, jnp.square(smax - mean), 0.0)

@@ -66,12 +66,19 @@ def resize_normalize(batch_u8: jax.Array, out_size: int = 224,
     Aw = jnp.asarray(resize_matrix(w, out_size))        # [out, W]
 
     x = batch_u8.astype(jnp.float32)
+    # precision="highest": TPU fp32 matmuls default to bf16 passes
+    # (CLAUDE.md), and bf16 rounding on 0-255-scale pixel sums across two
+    # chained einsums costs up to ~0.5 pixel-units — above this module's
+    # documented ≤1/255-scale PIL-exactness budget.  The resize is a
+    # negligible slice of the program, the towers keep their own policy.
     # rows: [out,H] x [B,H,W,C] -> [B,out,W,C]
     x = jnp.einsum("oh,bhwc->bowc", Ah, x,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision="highest")
     # cols
     x = jnp.einsum("ow,bhwc->bhoc", Aw, x,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision="highest")
     scale = jnp.asarray([1.0 / (255.0 * s) for s in std], jnp.float32)
     shift = jnp.asarray([m / s for m, s in zip(mean, std)], jnp.float32)
     return (x * scale - shift).astype(dtype)

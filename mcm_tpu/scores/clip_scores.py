@@ -77,9 +77,15 @@ def _scores_from_logits(logits: jax.Array, T: float) -> Dict[str, jax.Array]:
         # reference quirk kept: 'max-logit' takes max of RAW logits (:233-234)
         "max-logit": -jnp.max(logits, axis=-1),
         "energy": -(T * logsumexp),
-        # scipy.stats.entropy with natural log over the softmax row (:243)
-        "entropy": -jnp.sum(jnp.where(smax > 0, smax * jnp.log(smax), 0.0),
-                            axis=-1),
+        # scipy.stats.entropy with natural log over the softmax row (:243).
+        # NaN rows must PROPAGATE like every other score: the where()
+        # alone would turn a NaN softmax (zero-norm/garbage feature) into
+        # -0.0 — the strongest-possible ID verdict — because NaN > 0 is
+        # False; scipy returns NaN for the same row.
+        "entropy": jnp.where(
+            jnp.isnan(jnp.sum(smax, axis=-1)), jnp.nan,
+            -jnp.sum(jnp.where(smax > 0, smax * jnp.log(smax), 0.0),
+                     axis=-1)),
         "var": -jnp.var(smax, axis=-1),
     }
 
@@ -97,11 +103,14 @@ def _scores_from_logits_host(logits, T: float):
     logsumexp = np.squeeze(m + np.log(z), axis=-1)
     with np.errstate(divide="ignore", invalid="ignore"):
         plogp = np.where(smax > 0, smax * np.log(smax), 0.0)
+    # NaN propagation for garbage rows — see _scores_from_logits
+    entropy = np.where(np.isnan(np.sum(smax, axis=-1)), np.nan,
+                       -np.sum(plogp, axis=-1))
     return {
         "MCM": -np.max(smax, axis=-1),
         "max-logit": -np.max(logits, axis=-1),
         "energy": -(np.float32(T) * logsumexp),
-        "entropy": -np.sum(plogp, axis=-1),
+        "entropy": entropy,
         "var": -np.var(smax, axis=-1),
     }
 

@@ -60,6 +60,21 @@ def estimate_mean_precision(features: np.ndarray, labels: np.ndarray,
                                          keepdims=True)
 
     cov = np.cov(feats.T)  # shared covariance over ALL features (:172)
+    if feats.shape[0] <= feats.shape[1]:
+        # rank(cov) <= N-1 < D: LAPACK's pivots stay nonzero through
+        # rounding, so np.linalg.inv returns FINITE garbage (~1e14
+        # entries, measured) instead of raising — every downstream score
+        # would be numerically meaningless while the run "succeeds".
+        # Warn rather than raise: the reference (torch.linalg.inv of the
+        # same covariance) behaves identically, so small-N runs still
+        # reproduce it — they just shouldn't be trusted silently.
+        import warnings
+        warnings.warn(
+            f"Mahalanobis covariance is rank-deficient: {feats.shape[0]} "
+            f"training samples <= {feats.shape[1]} feature dims — the "
+            f"precision matrix (and every maha score) is numerically "
+            f"meaningless; use more training data (or a smaller "
+            f"--max_count subset only with N >> D)")
     precision = np.linalg.inv(cov)
     return classwise_mean.astype(np.float32), precision.astype(np.float32)
 
@@ -108,6 +123,16 @@ def mahalanobis_score(features: jax.Array, classwise_mean: jax.Array,
         f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
     mu = classwise_mean.astype(jnp.float32)          # [C, D]
     P = precision.astype(jnp.float32)                # [D, D]
+
+    # Center both operands on the class-mean centroid before expanding
+    # the quadratic: (f-μ_c)P(f-μ_c) is exactly invariant to a common
+    # shift, but the EXPANDED form below cancels catastrophically when a
+    # large common offset inflates the individual quadratic terms
+    # (measured: fp32 error 0.099 uncentered vs 1.4e-4 direct-form at
+    # offset-norm 8, D=512 — raw CLIP features are not centered).
+    g = jnp.mean(mu, axis=0)
+    f = f - g
+    mu = mu - g
 
     fP = jnp.dot(f, P, preferred_element_type=jnp.float32,
                  precision="highest")                # [B, D]

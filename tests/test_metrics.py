@@ -127,3 +127,18 @@ def test_metrics_degenerate_sets_are_finite(rng):
     assert auroc_score(*one_each) == 1.0
     # all-tied scores carry no signal
     assert auroc_score(*all_tied) == 0.5
+
+
+def test_get_measures_empty_side_raises(rng):
+    """An empty ID or OOD side must fail loudly (the reference's sklearn
+    raises 'Only one class present'), not write silent NaN into judged
+    results — the trigger is an OOD set smaller than the batch size under
+    the maha tail-drop quirk."""
+    scores = rng.standard_normal(8)
+    with pytest.raises(ValueError, match="both classes"):
+        get_measures(scores, np.zeros((0,)))
+    with pytest.raises(ValueError, match="both classes"):
+        get_measures(np.zeros((0,)), scores)
+    # one sample per side is degenerate but defined
+    auroc, aupr, fpr = get_measures(np.array([2.0]), np.array([1.0]))
+    assert np.isfinite([auroc, aupr, fpr]).all()

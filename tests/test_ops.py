@@ -228,6 +228,25 @@ def test_pallas_mcm_matches_reference(rng, score, n_classes):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("score", CLIP_SCORES)
+def test_pallas_mcm_on_chip_matches_xla(rng, score):
+    """Real-chip only: the COMPILED score kernel vs the XLA
+    highest-precision twin at production shape.  Interpret mode (above)
+    executes full fp32 regardless of the kernel's dot precision, so only
+    a hardware run can catch the kernel silently taking bf16 passes —
+    the kernel now pins precision=HIGHEST + exact 1/sqrt to match the
+    twin, and this test holds it to fp32-ulp-scale agreement."""
+    if jax.default_backend() == "cpu":
+        pytest.skip("interpret-mode coverage above; MXU precision TPU only")
+    img = jnp.asarray(rng.standard_normal((256, 512)), jnp.float32)
+    txt = l2_normalize(jnp.asarray(rng.standard_normal((1000, 512)),
+                                   jnp.float32))
+    want = np.asarray(compute_scores(img, txt, score=score, T=1.0))
+    got = np.asarray(_pallas_mcm(img, txt, score, 1.0))
+    np.testing.assert_allclose(got, want, rtol=1e-5,
+                               atol=1e-6 * np.abs(want).max())
+
+
 def test_pallas_mcm_temperature(rng):
     img = jnp.asarray(rng.standard_normal((8, 32)), jnp.float32)
     txt = l2_normalize(jnp.asarray(rng.standard_normal((5, 32)), jnp.float32))

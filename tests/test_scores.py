@@ -156,3 +156,60 @@ def test_host_scores_match_jit_path(rng):
             host = compute_scores_host(feats, text, score=score, T=T)
             np.testing.assert_allclose(host, dev, rtol=2e-5, atol=2e-6,
                                        err_msg=f"{score} T={T}")
+
+
+def test_mahalanobis_offset_invariance(rng):
+    """The fused expanded-quadratic form must match the direct form even
+    when features carry a large common offset (raw CLIP features are not
+    centered): un-centered expansion cancels catastrophically in fp32 —
+    measured 0.099 max error at offset-norm 8 vs 1.4e-4 for the direct
+    form — so mahalanobis_score centers on the class-mean centroid
+    first (exactly invariant for the distance)."""
+    d = 512
+    offset = rng.standard_normal(d).astype(np.float32) * 8 / np.sqrt(d)
+    feats = (offset + 0.3 * rng.standard_normal((64, d))).astype(np.float32)
+    mu = (offset + 0.3 * rng.standard_normal((5, d))).astype(np.float32)
+    A = rng.standard_normal((d, d)).astype(np.float32)
+    P = (A @ A.T / d + np.eye(d)).astype(np.float32)
+    ref = _naive_maha(feats.astype(np.float64), mu.astype(np.float64),
+                      P.astype(np.float64))
+    ours = np.asarray(mahalanobis_score(jnp.asarray(feats), jnp.asarray(mu),
+                                        jnp.asarray(P)))
+    err = np.abs(ours - ref).max() / np.abs(ref).max()
+    assert err < 1e-5, err
+
+
+def test_rank_deficient_covariance_warns(rng):
+    """N <= D covariance yields a FINITE-garbage inverse (no LinAlgError)
+    — estimate_mean_precision must warn loudly instead of silently
+    poisoning every maha score."""
+    import warnings as _w
+
+    feats = rng.standard_normal((30, 64)).astype(np.float32)
+    labels = rng.integers(0, 3, size=30)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        estimate_mean_precision(feats, labels, 3)
+    assert any("rank-deficient" in str(r.message) for r in rec)
+
+
+def test_entropy_nan_propagates(rng):
+    """A NaN softmax row (zero-norm/garbage feature) must score NaN, not
+    -0.0 (the strongest-possible ID verdict): NaN > 0 is False, so the
+    0·log0 guard alone would swallow it.  All three twins."""
+    from mcm_tpu.ops.mcm_score import fused_mcm_scores
+    from mcm_tpu.scores.clip_scores import compute_scores_host
+
+    img = rng.standard_normal((4, 16)).astype(np.float32)
+    img[1] = 0.0  # zero-norm row → NaN after L2 normalize
+    txt = np.asarray(l2_normalize(jnp.asarray(
+        rng.standard_normal((3, 16)).astype(np.float32))))
+
+    dev = np.asarray(compute_scores(jnp.asarray(img), jnp.asarray(txt),
+                                    score="entropy"))
+    host = compute_scores_host(img, txt, score="entropy")
+    kern = np.asarray(fused_mcm_scores(jnp.asarray(img), jnp.asarray(txt),
+                                       score="entropy", impl="xla"))
+    for name, out in [("jnp", dev), ("host", host), ("kernel-xla", kern)]:
+        assert np.isnan(out[1]), (name, out)
+        assert np.isfinite(np.delete(out, 1)).all(), (name, out)
