@@ -36,6 +36,19 @@ def main():
             dst = os.path.join(dst_path, split, wnid)
             shutil.copytree(src, dst, dirs_exist_ok=True)
             print(f"copied {src} -> {dst}")
+        # a destination materialized from an older/edited class list keeps
+        # its stale wnid dirs — the evaluator would walk them as extra ID
+        # classes, silently shifting every label vs the prompt rows (the
+        # ImageFolder count check now catches it at eval time; warn here
+        # where the user can still fix the tree)
+        split_dir = os.path.join(dst_path, split)
+        stale = sorted(set(e.name for e in os.scandir(split_dir)
+                           if e.is_dir()) - set(wnids))
+        if stale:
+            print(f"WARNING: {split_dir} contains {len(stale)} class "
+                  f"dir(s) not in the {args.in_dataset} list (e.g. "
+                  f"{stale[:3]}) — remove them or the evaluator will "
+                  f"refuse the tree")
 
 
 if __name__ == "__main__":

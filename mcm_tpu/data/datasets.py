@@ -49,18 +49,44 @@ def download_and_extract(url: str, root: str, md5: Optional[str] = None,
                     f"could not download {url} ({e}); place the archive at "
                     f"{fname} manually in egress-free environments") from e
             raise
-    if md5 and _md5(fname) != md5:
-        raise RuntimeError(f"md5 mismatch for {fname}")
+    # verify and extract through ONE open handle: a separate re-open after
+    # the hash check would let the file be swapped in between (shared /
+    # world-writable dataset roots)
     dest = extract_root or root
-    if fname.endswith((".tar.gz", ".tgz", ".tar")):
-        with tarfile.open(fname) as tar:
-            try:
-                tar.extractall(dest, filter="data")
-            except TypeError:  # Python < 3.10.12 lacks the filter kwarg
-                tar.extractall(dest)  # noqa: S202 — md5-verified archive
-    elif fname.endswith(".zip"):
-        with zipfile.ZipFile(fname) as zf:
-            zf.extractall(dest)
+    with open(fname, "rb") as f:
+        if md5:
+            h = hashlib.md5()
+            while blk := f.read(1 << 20):
+                h.update(blk)
+            if h.hexdigest() != md5:
+                raise RuntimeError(
+                    f"md5 mismatch for {fname} (got {h.hexdigest()}, "
+                    f"want {md5}) — delete the file to re-download")
+            f.seek(0)
+        if fname.endswith((".tar.gz", ".tgz", ".tar")):
+            with tarfile.open(fileobj=f) as tar:
+                try:
+                    tar.extractall(dest, filter="data")
+                except TypeError:  # Python < 3.10.12 lacks the filter kwarg
+                    _check_tar_members(tar, dest)
+                    tar.extractall(dest)  # noqa: S202 — members checked
+        elif fname.endswith(".zip"):
+            with zipfile.ZipFile(f) as zf:
+                zf.extractall(dest)  # CPython sanitizes zip member paths
+
+
+def _check_tar_members(tar: "tarfile.TarFile", dest: str) -> None:
+    """Manual traversal guard for interpreters without the ``filter``
+    kwarg: no member may resolve outside ``dest`` (../ or absolute
+    names), and links are refused outright."""
+    base = os.path.realpath(dest)
+    for m in tar.getmembers():
+        if m.islnk() or m.issym():
+            raise RuntimeError(f"refusing link member {m.name!r} in archive")
+        target = os.path.realpath(os.path.join(base, m.name))
+        if target != base and not target.startswith(base + os.sep):
+            raise RuntimeError(
+                f"archive member {m.name!r} escapes the extraction root")
 
 
 class _PathLabelDataset:
@@ -114,7 +140,9 @@ class Cub2011(_PathLabelDataset):
 class Food101(_PathLabelDataset):
     """Food-101 (reference ``food101.py``): ``meta/{train,test}.json`` maps
     class → image relpaths; display names are the sorted class keys
-    capitalized (identical to the reference's hardcoded list)."""
+    capitalized, then adjusted to the reference's hardcoded list
+    (``food101.py:48``), which swaps 'Cheesecake'/'Cheese plate' relative
+    to the sorted-key label order — see ``class_names_str`` below."""
 
     _URL = "http://data.vision.ee.ethz.ch/cvl/food-101.tar.gz"
     _MD5 = "85eeb15f3717b99a5da872d97d918f87"
@@ -123,7 +151,12 @@ class Food101(_PathLabelDataset):
                  download: bool = False):
         assert split in ("train", "test")
         base = os.path.join(root, "food-101")
-        if download and not os.path.isdir(os.path.join(base, "meta")):
+        # gate on BOTH pieces like torchvision's _check_exists: a tree
+        # with meta/ but a deleted images/ must re-download, not fail
+        # image-by-image at decode time
+        if download and not (os.path.isdir(os.path.join(base, "meta"))
+                             and os.path.isdir(os.path.join(base,
+                                                            "images"))):
             download_and_extract(self._URL, root, self._MD5)
         meta_path = os.path.join(base, "meta", f"{split}.json")
         if not os.path.exists(meta_path):
@@ -141,8 +174,20 @@ class Food101(_PathLabelDataset):
             label = class_to_idx[cls]
             self.samples += [(os.path.join(img_dir, *f"{r}.jpg".split("/")),
                               label) for r in rels]
-        self.class_names_str = [c.replace("_", " ").capitalize()
-                                for c in self.classes]
+        names = [c.replace("_", " ").capitalize() for c in self.classes]
+        # Reference quirk kept (PARITY.md): the reference's hardcoded name
+        # list has 'Cheesecake' at label 16 and 'Cheese plate' at 17,
+        # although its labels come from sorted keys where 'cheese_plate' <
+        # 'cheesecake' ('_' < 'c') — i.e. ITS names are swapped relative
+        # to its own labels for these two classes.  The prompt SET is
+        # identical either way, so every OOD score is unaffected; only
+        # label-indexed diagnostics see the pairing, and those must match
+        # the reference's.
+        if "cheese_plate" in self.classes and "cheesecake" in self.classes:
+            i_plate = self.classes.index("cheese_plate")
+            i_cake = self.classes.index("cheesecake")
+            names[i_plate], names[i_cake] = names[i_cake], names[i_plate]
+        self.class_names_str = names
 
 
 class OxfordIIITPet(_PathLabelDataset):
@@ -162,7 +207,10 @@ class OxfordIIITPet(_PathLabelDataset):
         assert split in ("trainval", "test")
         base = os.path.join(root, "oxford-iiit-pet")
         anns = os.path.join(base, "annotations")
-        if download and not os.path.isdir(anns):
+        # gate on both pieces (torchvision _check_exists semantics)
+        if download and not (os.path.isdir(anns)
+                             and os.path.isdir(os.path.join(base,
+                                                            "images"))):
             for url, md5 in self._RESOURCES:
                 download_and_extract(url, base, md5)
         ann_file = os.path.join(anns, f"{split}.txt")

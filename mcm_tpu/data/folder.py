@@ -37,12 +37,23 @@ class ImageFolder:
         for cls in self.classes:
             cdir = os.path.join(root, cls)
             label = self.class_to_idx[cls]
+            n_before = len(self.samples)
             for dirpath, dirnames, filenames in sorted(os.walk(cdir,
                                                                followlinks=True)):
                 for fname in sorted(filenames):
                     if fname.lower().endswith(exts):
                         self.samples.append(
                             (os.path.join(dirpath, fname), label))
+            if len(self.samples) == n_before:
+                # torchvision raises for empty classes (find_classes →
+                # make_dataset FileNotFoundError); keeping them would let
+                # a stray dir (.ipynb_checkpoints/, __MACOSX/) become a
+                # class index and silently shift every label relative to
+                # the fixed prompt lists
+                raise FileNotFoundError(
+                    f"found no valid images for class {cls!r} under "
+                    f"{root} — remove stray directories (torchvision "
+                    f"raises for empty classes too)")
         if not self.samples:
             raise FileNotFoundError(f"no image files under {root}")
 

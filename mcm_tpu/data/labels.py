@@ -134,16 +134,43 @@ def prompt_permutation(in_dataset: str):
     return np.asarray([row_of_wnid[w] for w in sorted(file_order)])
 
 
+def _check_subset_tree(dataset, subset: str) -> None:
+    """The walked tree must have exactly as many class dirs as the
+    curated list: an extra populated dir (stale materialization into the
+    same tree) would otherwise score as an 11th/21st/101st ID class and
+    silently shift every label relative to the fixed prompt rows — wrong
+    FPR95/AUROC with no error on any path.  Count-only by design:
+    synthetic smoke trees legitimately use placeholder wnids (the prompts
+    come from the packaged lists either way)."""
+    classes = getattr(dataset, "classes", None)
+    if classes is None:
+        return
+    want = len(subset_wnids(subset))
+    if len(classes) != want:
+        raise ValueError(
+            f"{subset} tree has {len(classes)} class dirs, expected "
+            f"{want} — labels would misalign with the prompt rows; clean "
+            f"stray directories or re-run create_imagenet_subset.py")
+
+
 def get_test_labels(in_dataset: str, dataset=None) -> Sequence[str]:
     """Prompt-ready class names for an ID dataset
-    (reference ``common.py:16-27``)."""
+    (reference ``common.py:16-27``).  When the walked ``dataset`` is
+    supplied for an ImageNet subset, its class dirs are validated against
+    the curated wnid list (see :func:`_check_subset_tree`)."""
     if in_dataset == "ImageNet":
         return imagenet1k_classes()
     if in_dataset == "ImageNet10":
+        if dataset is not None:
+            _check_subset_tree(dataset, "imagenet10")
         return imagenet10_classes()
     if in_dataset == "ImageNet20":
+        if dataset is not None:
+            _check_subset_tree(dataset, "imagenet20")
         return imagenet20_classes()
     if in_dataset == "ImageNet100":
+        if dataset is not None:
+            _check_subset_tree(dataset, "imagenet100")
         return imagenet100_classes()
     if in_dataset in ("bird200", "car196", "food101", "pet37", "flower102"):
         if dataset is None or getattr(dataset, "class_names_str", None) is None:

@@ -249,3 +249,94 @@ def test_imagenet100_prompt_permutation():
     for label in (0, 13, 99):
         assert file_order[perm[label]] == wnids_sorted[label]
     assert prompt_permutation("ImageNet") is None
+
+
+def test_food101_reference_name_swap(tmp_path):
+    """Reference quirk kept: its hardcoded name list (food101.py:48) has
+    'Cheesecake' at label 16 and 'Cheese plate' at 17, although its own
+    labels come from sorted keys where 'cheese_plate' sorts first — the
+    prompt SET is identical so OOD scores are unaffected, but
+    label-indexed diagnostics must match the reference's pairing."""
+    import json as _json
+    base = tmp_path / "food-101"
+    (base / "meta").mkdir(parents=True)
+    (base / "images").mkdir()
+    classes = ["apple_pie", "cheese_plate", "cheesecake", "waffles"]
+    meta = {c: [f"{c}/0001"] for c in classes}
+    for c in classes:
+        d = base / "images" / c
+        d.mkdir()
+        from PIL import Image
+        import numpy as _np
+        Image.fromarray(_np.zeros((8, 8, 3), _np.uint8)).save(
+            d / "0001.jpg")
+    with open(base / "meta" / "train.json", "w") as f:
+        _json.dump(meta, f)
+    ds = Food101(str(tmp_path), split="train")
+    # sorted keys: apple_pie(0) cheese_plate(1) cheesecake(2) waffles(3)
+    assert ds.classes == classes
+    assert ds.class_names_str == ["Apple pie", "Cheesecake", "Cheese plate",
+                                  "Waffles"]
+
+
+def test_imagefolder_empty_class_raises(tmp_path):
+    """torchvision raises for class dirs with no valid images; keeping
+    them would let a stray dir shift every label vs the prompt lists."""
+    root = tmp_path / "tree"
+    (root / ".ipynb_checkpoints").mkdir(parents=True)
+    (root / "n00000001").mkdir()
+    from PIL import Image
+    import numpy as _np
+    Image.fromarray(_np.zeros((8, 8, 3), _np.uint8)).save(
+        root / "n00000001" / "x.jpg")
+    with pytest.raises(FileNotFoundError, match="no valid images"):
+        ImageFolder(str(root))
+
+
+def test_subset_tree_class_count_validated(tmp_path):
+    """An ImageNet10 tree with an 11th populated class dir must be
+    refused (labels would misalign with the 10 prompt rows), while the
+    correct count passes even with placeholder wnids (synthetic smoke
+    trees)."""
+    from util_synth import make_imagefolder_tree
+
+    from mcm_tpu.data.labels import get_test_labels
+
+    root = tmp_path / "ImageNet10" / "val"
+    make_imagefolder_tree(str(root), [f"n{i:08d}" for i in range(10)], 1)
+    ds = ImageFolder(str(root))
+    assert len(get_test_labels("ImageNet10", ds)) == 10
+
+    make_imagefolder_tree(str(root), ["n99999999"], 1)
+    with pytest.raises(ValueError, match="11 class dirs"):
+        get_test_labels("ImageNet10", ImageFolder(str(root)))
+
+
+def test_tar_member_traversal_refused(tmp_path):
+    """The pre-3.10.12 fallback path must refuse members escaping the
+    extraction root (and links outright)."""
+    import io
+    import tarfile as _tarfile
+
+    from mcm_tpu.data.datasets import _check_tar_members
+
+    buf = io.BytesIO()
+    with _tarfile.open(fileobj=buf, mode="w") as tar:
+        info = _tarfile.TarInfo("../escape.txt")
+        info.size = 1
+        tar.addfile(info, io.BytesIO(b"x"))
+    buf.seek(0)
+    with _tarfile.open(fileobj=buf) as tar:
+        with pytest.raises(RuntimeError, match="escapes"):
+            _check_tar_members(tar, str(tmp_path))
+
+    buf = io.BytesIO()
+    with _tarfile.open(fileobj=buf, mode="w") as tar:
+        info = _tarfile.TarInfo("link")
+        info.type = _tarfile.SYMTYPE
+        info.linkname = "/etc/passwd"
+        tar.addfile(info)
+    buf.seek(0)
+    with _tarfile.open(fileobj=buf) as tar:
+        with pytest.raises(RuntimeError, match="link"):
+            _check_tar_members(tar, str(tmp_path))
