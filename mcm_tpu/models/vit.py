@@ -91,13 +91,21 @@ def resolve_vit_params(cfg: SupervisedViTConfig,
     ``google/vit-base-patch16-224`` snapshot), or None.  Shared by the MSP
     baseline CLI and the vit-Linear path of the main runner."""
     import os
+    import warnings
+    import zipfile
 
     from mcm_tpu.models.convert import load_params, load_state_dict
 
     ckpt_dir = ckpt_dir or os.environ.get("MCM_TPU_CKPT_DIR", "checkpoints")
     native = os.path.join(ckpt_dir, "vit-base-patch16-224.npz")
     if os.path.exists(native):
-        return load_params(native)
+        try:
+            return load_params(native)
+        except (ValueError, OSError, KeyError, zipfile.BadZipFile) as e:
+            # same healing as resolve_clip_params: a truncated cache must
+            # not brick resolution while the HF snapshot sits next to it
+            warnings.warn(f"cached {native} is unreadable ({e}); "
+                          f"re-converting from the source checkpoint")
     snapshot = os.path.join(ckpt_dir, "vit-base-patch16-224")
     if os.path.isdir(snapshot):
         params = convert_hf_vit(load_state_dict(snapshot), cfg)

@@ -85,9 +85,21 @@ class EvalStep(_Placement):
         # TP meshes (model axis > 1) need the partitioner to split the layer
         # matmuls, so they use the XLA attention path.
         self._dp_only = self.mesh.shape[meshlib.MODEL_AXIS] == 1
-        if (self.mesh.size > 1 and not self._dp_only
-                and precision.attn_impl == "auto"):
-            precision = dataclasses.replace(precision, attn_impl="xla")
+        if self.mesh.size > 1 and not self._dp_only:
+            if precision.attn_impl == "auto":
+                precision = dataclasses.replace(precision, attn_impl="xla")
+            forced = [f"attn_impl={precision.attn_impl!r}"
+                      ] if precision.attn_impl != "xla" else []
+            if precision.mlp_impl == "pallas":
+                forced.append(f"mlp_impl={precision.mlp_impl!r}")
+            if forced:
+                raise ValueError(
+                    f"{', '.join(forced)} cannot run on a tensor-parallel "
+                    f"mesh (model axis = "
+                    f"{self.mesh.shape[meshlib.MODEL_AXIS]}): pallas_call is "
+                    f"opaque to the SPMD partitioner, which would all-gather "
+                    f"the TP-sharded layer weights around it. Use "
+                    f"attn_impl/mlp_impl 'auto' or 'xla', or a pure-DP mesh.")
         if score == "odin":
             precision = _odin_safe(precision)
         self.precision = precision
@@ -264,10 +276,16 @@ class VitLinearStep(_Placement):
                                     dtype=precision.activation_dtype)
             if perturb:
                 from mcm_tpu.scores.odin import odin_perturb
+                # Reference quirk kept: input_preprocessing scales the
+                # gradient sign by the CLIP std for EVERY model — the
+                # ``std=(0.26862954, ...)`` at ``detection_util.py:141-143``
+                # is hardcoded even on the vit-Linear branch whose pixels
+                # were normalized with (0.5, 0.5, 0.5).  Parity over
+                # plausibility (PARITY.md §2.2, ODIN row).
                 x = odin_perturb(
                     lambda xi: jvit.forward_logits(params, cfg, xi,
                                                    precision) / self.T,
-                    x, float(noise_magnitude), std=IMAGENET_STD)
+                    x, float(noise_magnitude), std=CLIP_STD)
             return jvit.forward_logits(params, cfg, x, precision)
 
         def score_fn(params, images_u8):

@@ -53,13 +53,23 @@ OPENAI_IMAGENET_TEMPLATES: List[str] = [
     "a photo of a cool {}.", "a photo of a small {}.", "a tattoo of the {}.",
 ]
 
-#: Curated subsets mirroring the reference's hand-picked lists
-#: (``imagenet_templates.py:85-102``).
-SIMPLE_IMAGENET_TEMPLATES: List[str] = [
-    "itap of a {}.", "a bad photo of the {}.", "a origami {}.",
-    "a photo of the large {}.", "a {} in a video game.",
-    "art of the {}.", "a photo of the small {}.",
-]
+#: The reference's two hand-picked subsets, string-exact
+#: (``imagenet_templates.py:85-102``, ``openai_imagenet_template_subset``).
+CURATED_TEMPLATE_SUBSETS: dict = {
+    0: [
+        "a photo of a {}.", "a blurry photo of a {}.",
+        "a photo of many {}.", "a photo of the large {}.",
+        "a photo of the small {}.",
+    ],
+    1: [
+        "itap of my {}.", "a bad photo of a {}.", "a origami {}.",
+        "a photo of the large {}.", "a {} in a video game.",
+        "art of the {}.", "a photo of the small {}.",
+    ],
+}
+
+#: Back-compat alias for the 7-template subset (= subset 1 above).
+SIMPLE_IMAGENET_TEMPLATES: List[str] = CURATED_TEMPLATE_SUBSETS[1]
 
 PHOTO_TEMPLATES: List[str] = [DEFAULT_TEMPLATE]
 

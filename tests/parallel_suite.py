@@ -126,3 +126,21 @@ def test_mesh_validation():
     # (a 1-chip fallback would misattribute 8-chip throughput)
     with pytest.raises(ValueError, match="visible"):
         make_mesh(len(jax.devices()) + 1)
+
+
+def test_tp_mesh_rejects_forced_pallas_impls():
+    """Explicitly forced Pallas kernels must fail loudly on a TP mesh:
+    pallas_call is opaque to the SPMD partitioner, so letting it through
+    would silently all-gather the TP-sharded weights around the kernel
+    ('auto' is rewritten to xla; a forced impl is a config error)."""
+    import dataclasses
+    mesh = make_mesh(4, model_parallel=2)
+    with pytest.raises(ValueError, match="SPMD partitioner"):
+        EvalStep(TINY, precision=dataclasses.replace(
+            Precision.fast(), attn_impl="pallas_bsd"), mesh=mesh)
+    with pytest.raises(ValueError, match="SPMD partitioner"):
+        EvalStep(TINY, precision=dataclasses.replace(
+            Precision.fast(), mlp_impl="pallas"), mesh=mesh)
+    # 'auto' still quietly routes to xla (the existing behavior)
+    step = EvalStep(TINY, precision=Precision.fast(), mesh=mesh)
+    assert step.precision.attn_impl == "xla"

@@ -422,3 +422,29 @@ def test_template_ensemble_matches_hf_reference(ref, assets):
                                rtol=1e-5)
     err = np.abs(ens_ours - ens_ref).max()
     assert err < 5e-4, f"ensembled text-feature delta {err:.2e}"
+
+
+def test_prompt_templates_match_reference_strings():
+    """All 80 templates AND both curated subsets, string-exact (order
+    included) vs the reference's lambda lists
+    (``utils/imagenet_templates.py:1-102``).  Executing each reference
+    lambda with the literal "{}" reproduces our format-string form."""
+    import importlib.util
+
+    from mcm_tpu.text.prompts import (CURATED_TEMPLATE_SUBSETS,
+                                      OPENAI_IMAGENET_TEMPLATES,
+                                      SIMPLE_IMAGENET_TEMPLATES)
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_imagenet_templates",
+        os.path.join(REF_ROOT, "utils", "imagenet_templates.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    assert [t("{}") for t in mod.openai_imagenet_template] \
+        == OPENAI_IMAGENET_TEMPLATES
+    ref_subsets = mod.openai_imagenet_template_subset
+    assert set(ref_subsets) == set(CURATED_TEMPLATE_SUBSETS)
+    for k, subset in ref_subsets.items():
+        assert [t("{}") for t in subset] == CURATED_TEMPLATE_SUBSETS[k], k
+    assert SIMPLE_IMAGENET_TEMPLATES == CURATED_TEMPLATE_SUBSETS[1]

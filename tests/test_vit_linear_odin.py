@@ -146,6 +146,39 @@ def test_odin_forces_fp32_xla_program():
     assert vstep.precision.mlp_impl == "xla"
 
 
+def test_vit_linear_odin_scales_grad_sign_by_clip_std(rng, monkeypatch):
+    """Reference quirk kept: ``input_preprocessing`` divides the gradient
+    sign by the CLIP std for EVERY model — ``detection_util.py:141-143``
+    hardcodes ``std=(0.26862954, ...)`` even on the vit-Linear branch
+    whose pixels were (0.5,)-normalized.  Pin that VitLinearStep forwards
+    CLIP_STD (not IMAGENET_STD) into odin_perturb."""
+    import jax
+
+    import mcm_tpu.scores.odin as odin_mod
+    from mcm_tpu.config import Precision
+    from mcm_tpu.data.transforms import CLIP_STD
+    from mcm_tpu.models.init import init_supervised_vit
+    from mcm_tpu.parallel import VitLinearStep, make_mesh
+
+    seen = {}
+    real = odin_mod.odin_perturb
+
+    def spy(logits_fn, images, noise_magnitude, std):
+        seen["std"] = tuple(float(s) for s in std)
+        return real(logits_fn, images, noise_magnitude, std=std)
+
+    monkeypatch.setattr(odin_mod, "odin_perturb", spy)
+    cfg = _tiny_vit_cfg()
+    params = init_supervised_vit(jax.random.key(0), cfg)
+    step = VitLinearStep(cfg, score="odin", precision=Precision.parity(),
+                         mesh=make_mesh(1), noise_magnitude=0.01)
+    images = rng.integers(0, 256, size=(4, 32, 32, 3), dtype=np.uint8)
+    scores = np.asarray(step.score(step.put_params(params),
+                                   step.put_batch(images)))
+    assert np.isfinite(scores).all()
+    assert seen["std"] == tuple(float(s) for s in CLIP_STD)
+
+
 def test_vit_linear_features_are_clean_under_odin(rng):
     """features() feeds accuracy + the resume cache — it must return the
     UNperturbed classifier logits even when scoring uses ODIN."""

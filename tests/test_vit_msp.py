@@ -117,3 +117,13 @@ def test_full_size_vit_converter_consumes_every_key():
     assert params["layers"]["mlp"]["w1"].shape == (12, 768, 3072)
     assert params["pos_emb"].shape == (197, 768)
     assert params["head"]["w"].shape == (768, 1000)
+
+
+def test_resolve_vit_params_heals_corrupt_cache(tmp_path):
+    """A truncated/garbage npz cache must warn and fall through the
+    resolution ladder (same healing as resolve_clip_params) instead of
+    raising and bricking every vit-Linear run."""
+    (tmp_path / "vit-base-patch16-224.npz").write_bytes(b"not a zipfile")
+    with pytest.warns(UserWarning, match="unreadable"):
+        out = jvit.resolve_vit_params(TINY, str(tmp_path))
+    assert out is None  # no snapshot next to it -> random-init fallback
