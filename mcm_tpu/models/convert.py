@@ -20,6 +20,7 @@ Resolution order for a checkpoint name (e.g. ``ViT-B/16``):
 
 from __future__ import annotations
 
+import hashlib
 import os
 import re
 import warnings
@@ -320,6 +321,63 @@ def load_params_orbax(path: str) -> Params:
 # ---------------------------------------------------------------------------
 # High-level resolver
 # ---------------------------------------------------------------------------
+
+def file_identity(path: Optional[str]) -> Optional[Dict[str, object]]:
+    """Cheap content identity of a weight file for the ``--resume`` cache
+    fingerprint: path + size + mtime + sha256 of the first MiB.  Swapping
+    a checkpoint under an unchanged config must invalidate cached scores
+    (the results layout keys only on config, never on weight content) —
+    the size/sha pair catches in-place overwrites even with a restored
+    mtime, without hashing multi-GB files."""
+    if path is None:
+        return None
+    try:
+        st = os.stat(path)
+        h = hashlib.sha256()
+        with open(path, "rb") as f:
+            h.update(f.read(1 << 20))
+        return {"path": os.path.abspath(path), "size": st.st_size,
+                "mtime_ns": st.st_mtime_ns, "sha256_head": h.hexdigest()}
+    except OSError as e:
+        # unreadable ≠ absent: record the failure so it still participates
+        # in (mis)match decisions rather than aliasing to "no weights"
+        return {"path": os.path.abspath(path), "error": type(e).__name__}
+
+
+def _snapshot_weight_file(d: str) -> Optional[str]:
+    """The actual weight file inside an HF snapshot directory."""
+    for fname in ("model.safetensors", "pytorch_model.bin"):
+        cand = os.path.join(d, fname)
+        if os.path.exists(cand):
+            return cand
+    return None
+
+
+def resolve_clip_weight_source(ckpt_name: str,
+                               ckpt_dir: Optional[str] = None
+                               ) -> Optional[str]:
+    """The file :func:`resolve_clip_params` loads weights from, or None.
+
+    Mirrors the resolution order exactly (native .npz cache → OpenAI .pt →
+    local HF snapshot → HF hub cache).  Call it AFTER params resolve so a
+    native cache the conversion just wrote is what gets fingerprinted —
+    the npz is the loaded artifact on every subsequent run."""
+    ckpt_dir = ckpt_dir or os.environ.get(_CKPT_DIR_ENV, "checkpoints")
+    native = os.path.join(ckpt_dir, _sanitize(ckpt_name) + ".npz")
+    if os.path.exists(native):
+        return native
+    repo_id = HF_CKPT_MAPPING[ckpt_name]
+    pt = os.path.join(ckpt_dir, _sanitize(ckpt_name) + ".pt")
+    if os.path.exists(pt):
+        return pt
+    local_snap = os.path.join(ckpt_dir, repo_id.split("/")[-1])
+    if os.path.isdir(local_snap):
+        return _snapshot_weight_file(local_snap) or local_snap
+    snap = _hf_cache_snapshot(repo_id)
+    if snap:
+        return _snapshot_weight_file(snap) or snap
+    return None
+
 
 def _hf_cache_snapshot(repo_id: str) -> Optional[str]:
     cache = os.environ.get("HF_HOME",

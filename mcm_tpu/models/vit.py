@@ -120,6 +120,24 @@ def resolve_vit_params(cfg: SupervisedViTConfig,
     return None
 
 
+def resolve_vit_weight_source(ckpt_dir=None):
+    """The file :func:`resolve_vit_params` loads weights from, or None —
+    the vit-Linear half of the ``--resume`` weight-identity fingerprint
+    (see ``convert.resolve_clip_weight_source``)."""
+    import os
+
+    from mcm_tpu.models.convert import _snapshot_weight_file
+
+    ckpt_dir = ckpt_dir or os.environ.get("MCM_TPU_CKPT_DIR", "checkpoints")
+    native = os.path.join(ckpt_dir, "vit-base-patch16-224.npz")
+    if os.path.exists(native):
+        return native
+    snapshot = os.path.join(ckpt_dir, "vit-base-patch16-224")
+    if os.path.isdir(snapshot):
+        return _snapshot_weight_file(snapshot) or snapshot
+    return None
+
+
 # ---------------------------------------------------------------------------
 # HF google/vit-* checkpoint conversion
 # ---------------------------------------------------------------------------

@@ -446,15 +446,45 @@ def _id_features_cached(step, params, val_ds, cfg: RunConfig, log,
     return feats, labels
 
 
+def _weight_identity(cfg: RunConfig) -> Dict[str, object]:
+    """Content identity of every weight file feeding this run (resolved
+    path + size + mtime + head sha).  The config alone can't fingerprint
+    the numbers: swapping the checkpoint under an unchanged ``--CLIP_ckpt``
+    (or overwriting ``--finetune_ckpt`` in place) changes every score while
+    every flag stays equal — without this, ``--resume`` would serve the old
+    model's scores into judged CSVs."""
+    from mcm_tpu.models.convert import file_identity
+
+    ident: Dict[str, object] = {}
+    if cfg.model == "vit-Linear":
+        from mcm_tpu.models.vit import resolve_vit_weight_source
+        ident["weights"] = file_identity(
+            resolve_vit_weight_source(cfg.ckpt_dir))
+    elif cfg.model == "CLIP-Linear":
+        # CLIP-Linear loads its full pytree from --finetune_ckpt
+        ident["weights"] = file_identity(cfg.finetune_ckpt)
+    else:
+        from mcm_tpu.models.convert import resolve_clip_weight_source
+        ident["weights"] = file_identity(
+            resolve_clip_weight_source(cfg.clip_ckpt, cfg.ckpt_dir))
+    if cfg.finetune_ckpt and cfg.model != "CLIP-Linear":
+        # vit-Linear: the probe-head npz overriding the classifier
+        ident["finetune_ckpt"] = file_identity(cfg.finetune_ckpt)
+    return ident
+
+
 def _cache_meta(cfg: RunConfig) -> Dict[str, object]:
-    """The config fields that determine cached artifacts' NUMBERS (scores,
+    """The fields that determine cached artifacts' NUMBERS (scores,
     features, text features).  The reference-identical results layout keys
     the cache directory by {in_dataset, score, model, ckpt, T, name} only —
-    every other numerically-relevant flag lives here, and ``--resume``
+    every other numerically-relevant input lives here, and ``--resume``
     refuses caches whose recorded meta mismatches (silently reusing, say,
     bf16-fast scores in a parity run, or single-template scores in an
     ensemble run, would corrupt judged outputs).  batch_size is included
-    because the maha OOD tail-drop truncates at a batch boundary."""
+    because the maha OOD tail-drop truncates at a batch boundary;
+    weight_identity because the flags alone can't see a swapped
+    checkpoint.  Call AFTER weights resolve: resolution may write the
+    native .npz cache that later runs load (and get fingerprinted on)."""
     return {
         "clip_ckpt": cfg.clip_ckpt, "model": cfg.model, "score": cfg.score,
         "T": cfg.T_str, "in_dataset": cfg.in_dataset,
@@ -466,23 +496,53 @@ def _cache_meta(cfg: RunConfig) -> Dict[str, object]:
         "allow_random_weights": cfg.allow_random_weights,
         "max_count": cfg.max_count, "subset": cfg.subset,
         "batch_size": cfg.batch_size,
+        "weight_identity": _weight_identity(cfg),
     }
 
 
+#: everything scores_for/_id_features_cached/text_host persist under
+#: log_directory — the artifacts the meta fingerprint guards
+_CACHE_ARTIFACT_GLOBS = ("*_scores.npy", "ID_*_features.npz",
+                         "ID_*_text_features*.npz")
+
+
+def _purge_stale_caches(log_directory: str, log) -> int:
+    """Delete cached score/feature/text artifacts recorded under a
+    different fingerprint.  Disabling --resume alone is not enough: a run
+    under the new config writes the new meta at start, and if it crashes
+    mid-sweep, per-dataset caches from the OLD config would sit on disk
+    matching the NEW meta — the next --resume would silently mix the two
+    (advisor finding, round 4)."""
+    import glob as _glob
+    removed = 0
+    for pat in _CACHE_ARTIFACT_GLOBS:
+        for path in _glob.glob(os.path.join(log_directory, pat)):
+            try:
+                os.unlink(path)
+                removed += 1
+            except OSError:
+                pass
+    if removed:
+        log.debug(f"purged {removed} stale cached artifact(s) recorded "
+                  f"under a different configuration")
+    return removed
+
+
 def _check_cache_meta(cfg: RunConfig, log) -> RunConfig:
-    """Validate (and record) the cache fingerprint; on mismatch, disable
-    ``--resume`` for this run so stale artifacts are rescored rather than
-    silently mixed with fresh ones."""
+    """Validate (and record) the cache fingerprint.  On mismatch: disable
+    ``--resume`` for this run AND delete the stale artifacts, so a crash
+    mid-rescore can't leave old-config caches on disk under the new
+    meta."""
     meta_path = os.path.join(cfg.log_directory, "cache_meta.json")
     meta = _cache_meta(cfg)
-    if cfg.resume:
-        old = None
-        try:
-            with open(meta_path) as f:
-                old = json.load(f)
-        except (OSError, ValueError):
-            pass
-        if old != meta:
+    old = None
+    try:
+        with open(meta_path) as f:
+            old = json.load(f)
+    except (OSError, ValueError):
+        pass
+    if old != meta:
+        if cfg.resume:
             if old is None:
                 why = "no cache_meta.json (artifacts predate the check)"
             else:
@@ -497,6 +557,7 @@ def _check_cache_meta(cfg: RunConfig, log) -> RunConfig:
                 f"ignoring them and rescoring")
             log.debug(f"resume disabled: cache meta mismatch ({why})")
             cfg = dataclasses.replace(cfg, resume=False)
+        _purge_stale_caches(cfg.log_directory, log)
     with open(meta_path, "w") as f:
         json.dump(meta, f, indent=1)
     return cfg
@@ -509,10 +570,13 @@ def run_eval(cfg: RunConfig) -> Dict[str, Dict[str, float]]:
     setup_seed(cfg.seed)
     os.makedirs(cfg.log_directory, exist_ok=True)
     log = setup_log(cfg.log_directory, cfg.name)
-    cfg = _check_cache_meta(cfg, log)
     telemetry = Telemetry()
 
+    # build BEFORE the cache-meta check: weight resolution may write the
+    # native .npz cache, and the fingerprint must record the artifact
+    # subsequent runs will actually load
     params, tokenizer, step = build_model_and_step(cfg, log)
+    cfg = _check_cache_meta(cfg, log)
     out_datasets = cfg.out_datasets or default_out_datasets(cfg.in_dataset)
 
     val_ds = set_val_loader(cfg.in_dataset, cfg.root_dir)

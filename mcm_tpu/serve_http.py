@@ -80,6 +80,13 @@ MAX_IMAGES_PER_REQUEST = 1024
 MAX_DECODE_PIXELS = 89_478_485
 
 
+class _BombCapError(ValueError):
+    """Our own declared-pixels rejection — the ONE decode error whose
+    message is safe (we wrote it) and useful to surface verbatim.  A
+    plain ``except ValueError: raise`` would also pass PIL/preprocess-
+    internal ValueErrors through with their full text to HTTP clients."""
+
+
 def _pil_decode(data: bytes, size: int) -> np.ndarray:
     """PIL fallback for bytes the native decoder can't/won't decode
     (non-JPEG formats, quirks, or native unavailable).  Enforces the
@@ -92,11 +99,11 @@ def _pil_decode(data: bytes, size: int) -> np.ndarray:
         with Image.open(io.BytesIO(data)) as img:
             w, h = img.size  # header-only; no pixel allocation yet
             if w * h > MAX_DECODE_PIXELS:
-                raise ValueError(
+                raise _BombCapError(
                     f"image declares {w}x{h} pixels "
                     f"(limit {MAX_DECODE_PIXELS})")
             return preprocess_uint8(img, size)
-    except ValueError:
+    except _BombCapError:
         raise
     except Exception as e:  # noqa: BLE001 — surface as a client error
         # type name only: PIL/codec messages can embed local detail the
@@ -410,6 +417,13 @@ def _make_handler(server: OODServer):
                         chunk = self.rfile.read(min(remaining, 1 << 20))
                     except TimeoutError:
                         self._reject(408, "request body read timed out")
+                        return None
+                    except OSError:
+                        # connection reset / broken pipe mid-body: drop the
+                        # connection quietly instead of letting the handler
+                        # raise (ThreadingHTTPServer would log a full
+                        # traceback per dropped client)
+                        self.close_connection = True
                         return None
                     if not chunk:  # client closed mid-body
                         self.close_connection = True
