@@ -37,42 +37,57 @@ def test_contending_processes_cpu_delta():
         assert bench.contending_processes(before, after) == 1
 
 
+def _no_wait(monkeypatch, bench, waited=0.0):
+    """Make guarded's pre-attempt wait-for-quiet a no-op with a fixed
+    reported wait so the guarded tests drive retry semantics alone."""
+    monkeypatch.setattr(bench, "wait_for_quiet",
+                        lambda max_wait_s=0, probe_s=0: (waited, []))
+
+
 def test_guarded_clean_first_attempt(monkeypatch):
     """No contention → one measurement, zero retries."""
     import bench
     monkeypatch.setattr(bench, "python_cpu_snapshot", lambda: {})
+    _no_wait(monkeypatch, bench)
     calls = []
-    val, contenders, retries = bench.guarded(lambda: calls.append(1) or 42.0)
-    assert (val, contenders, retries) == (42.0, 0, 0)
+    val, contenders, retries, waited, who = bench.guarded(
+        lambda: calls.append(1) or 42.0)
+    assert (val, contenders, retries, who) == (42.0, 0, 0, [])
     assert len(calls) == 1
 
 
 def test_guarded_retries_and_keeps_cleanest(monkeypatch):
     """Contended first attempt → retry; the clean attempt wins even when
     its value is lower (contamination inflates nothing here, but the tie
-    rule is (fewest contenders, then highest value))."""
+    rule is (fewest contenders, then highest value)); the reported wait
+    accumulates across attempts."""
     import bench
     snaps = iter([{1: 0}, {1: 1000},    # attempt 1: pid 1 burned CPU
                   {1: 1000}, {1: 1000}])  # attempt 2: quiet
     monkeypatch.setattr(bench, "python_cpu_snapshot", lambda: next(snaps))
-    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    _no_wait(monkeypatch, bench, waited=2.0)
     vals = iter([99.0, 42.0])
-    val, contenders, retries = bench.guarded(lambda: next(vals))
-    assert (val, contenders, retries) == (42.0, 0, 1)
+    val, contenders, retries, waited, who = bench.guarded(lambda: next(vals))
+    assert (val, contenders, retries, waited, who) == (42.0, 0, 1, 4.0, [])
 
 
 def test_guarded_exhausts_retries_under_sustained_contention(monkeypatch):
     """Contention on every attempt → returns best-value attempt, reports
-    the contender count so the artifact is explicitly flagged."""
+    the contender count AND the contender's identity so the artifact is
+    explicitly flagged with who outlasted the wait."""
     import bench
     monkeypatch.setattr(bench, "python_cpu_snapshot",
                         _AlternatingSnapshot())
-    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setattr(bench, "contender_identities",
+                        lambda pids: [f"{p}:stray" for p in pids])
+    _no_wait(monkeypatch, bench)
     vals = iter([10.0, 30.0, 20.0, 25.0])
-    val, contenders, retries = bench.guarded(lambda: next(vals), retries=3)
+    val, contenders, retries, waited, who = bench.guarded(
+        lambda: next(vals), retries=3)
     assert val == 30.0
     assert contenders == 1
     assert retries == 3
+    assert who == ["1:stray"]
 
 
 class _AlternatingSnapshot:
@@ -91,8 +106,37 @@ def test_guarded_key_function(monkeypatch):
     import bench
     snaps = iter([{1: 0}, {1: 1000}, {}, {}])
     monkeypatch.setattr(bench, "python_cpu_snapshot", lambda: next(snaps))
-    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    _no_wait(monkeypatch, bench)
     vals = iter([[5.0, 50.0], [10.0, 20.0]])
-    val, contenders, retries = bench.guarded(lambda: next(vals), key=max)
+    val, contenders, retries, _, _ = bench.guarded(lambda: next(vals),
+                                                   key=max)
     assert val == [10.0, 20.0]   # clean attempt beats contended-but-faster
     assert contenders == 0
+
+
+def test_wait_for_quiet_returns_on_quiet_probe(monkeypatch):
+    """A quiet probe window returns immediately with no busy pids."""
+    import bench
+    snaps = iter([{1: 100}, {1: 100}])
+    monkeypatch.setattr(bench, "python_cpu_snapshot", lambda: next(snaps))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    waited, busy = bench.wait_for_quiet(max_wait_s=45, probe_s=3)
+    assert busy == []
+
+
+def test_wait_for_quiet_bounded_and_names_survivor(monkeypatch):
+    """A contender burning CPU through every probe: the wait gives up at
+    the bound and reports the still-busy pid (the artifact then records
+    it via contender_identities)."""
+    import bench
+    monkeypatch.setattr(bench, "python_cpu_snapshot",
+                        _AlternatingSnapshot())
+    t = {"now": 0.0}
+    monkeypatch.setattr(bench.time, "monotonic", lambda: t["now"])
+
+    def fake_sleep(s):
+        t["now"] += s
+    monkeypatch.setattr(bench.time, "sleep", fake_sleep)
+    waited, busy = bench.wait_for_quiet(max_wait_s=45, probe_s=3)
+    assert busy == [1]
+    assert waited >= 45
