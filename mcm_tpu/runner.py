@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import time
 import warnings
 from typing import Dict, List, Optional, Sequence
 
@@ -380,13 +381,20 @@ def _maha_templates(cfg: RunConfig, step: EvalStep, params, log,
         train_ds = set_train_loader(cfg.in_dataset, cfg.root_dir,
                                     subset=cfg.subset,
                                     max_count=cfg.max_count)
+        t0 = time.perf_counter()
         feats, labels = extract_features(step, params, train_ds, cfg,
                                          telemetry)
+        t_extract = time.perf_counter() - t0
         n_cls = len(get_test_labels(cfg.in_dataset, train_ds))
+        t0 = time.perf_counter()
         mu, prec = estimate_mean_precision(feats, labels, n_cls,
                                            normalize=cfg.normalize)
+        t_estimate = time.perf_counter() - t0
         cond = np.linalg.cond(prec)
         log.debug(f"cond number: {cond}")  # reference prints this (:174)
+        log.debug(f"maha templates: {len(feats)} train features in "
+                  f"{t_extract:.1f}s ({len(feats) / max(t_extract, 1e-9):.1f}"
+                  f" img/s); fp64 covariance+inverse {t_estimate:.1f}s")
         # normalize is recorded so downstream consumers (serve.py's
         # load_maha_templates) can't silently score with the wrong flag
         np.savez(path, classwise_mean=mu, precision=prec,

@@ -49,18 +49,30 @@ def _reset_stale_tree(root: str, subdirs, marker_prefix: str,
             os.unlink(os.path.join(root, m))
 
 
+def _id_wnids(in_dataset: str):
+    """Class dirs for the ID tree: ImageNet100 MUST use the real asset
+    wnid list (get_test_labels reads the packaged class_list; a tree of
+    made-up wnids would yield empty classes → NaN class means)."""
+    if in_dataset == "ImageNet100":
+        asset = os.path.join(REPO, "mcm_tpu", "data", "assets",
+                             "imagenet100_wnids.txt")
+        return [l.strip() for l in open(asset) if l.strip()]
+    return [f"n{i:08d}" for i in range(1, 41)]
+
+
 def build_tree(root: str, id_images: int, ood_images: int,
-               train_images: int = 0) -> None:
+               train_images: int = 0, in_dataset: str = "ImageNet") -> None:
     from util_synth import make_imagefolder_tree
-    n_cls = 40
-    wnids = [f"n{i:08d}" for i in range(1, n_cls + 1)]
-    marker = os.path.join(root, f".soak_{id_images}_{ood_images}")
+    wnids = _id_wnids(in_dataset)
+    n_cls = len(wnids)
+    marker = os.path.join(root, f".soak_{in_dataset}_{id_images}_"
+                                f"{ood_images}")
     if not os.path.exists(marker):
-        _reset_stale_tree(root, ("ImageNet/val", "ImageNet_OOD_dataset"),
+        _reset_stale_tree(root, (f"{in_dataset}/val", "ImageNet_OOD_dataset"),
                           ".soak_", spare_prefix=".soak_train")
         print(f"building {id_images} ID + 4×{ood_images} OOD JPEGs …")
-        make_imagefolder_tree(os.path.join(root, "ImageNet", "val"), wnids,
-                              per_class=id_images // n_cls, seed=1)
+        make_imagefolder_tree(os.path.join(root, in_dataset, "val"), wnids,
+                              per_class=max(1, id_images // n_cls), seed=1)
         for k, name in enumerate(OOD_SETS):
             make_imagefolder_tree(
                 os.path.join(root, "ImageNet_OOD_dataset", OOD_DIRS[name]),
@@ -71,23 +83,28 @@ def build_tree(root: str, id_images: int, ood_images: int,
         print(f"tree cached: {root}")
     if train_images:
         # Mahalanobis template estimation needs EVERY class of the ID
-        # dataset present in train (the runner refuses NaN class means),
-        # and get_test_labels(ImageNet) is the full 1000-class list
-        tmarker = os.path.join(root, f".soak_train_{train_images}")
+        # dataset present in train (the runner refuses NaN class means);
+        # get_test_labels is the full class list (1000 or 100)
+        train_wnids = (wnids if in_dataset == "ImageNet100"
+                       else [f"n{i:08d}" for i in range(1, 1001)])
+        tmarker = os.path.join(root, f".soak_train_{in_dataset}_"
+                                     f"{train_images}")
         if not os.path.exists(tmarker):
-            _reset_stale_tree(root, ("ImageNet/train",), ".soak_train")
-            print(f"building {train_images} train JPEGs (1000 classes) …")
-            train_wnids = [f"n{i:08d}" for i in range(1, 1001)]
-            make_imagefolder_tree(os.path.join(root, "ImageNet", "train"),
+            _reset_stale_tree(root, (f"{in_dataset}/train",), ".soak_train")
+            print(f"building {train_images} train JPEGs "
+                  f"({len(train_wnids)} classes) …")
+            make_imagefolder_tree(os.path.join(root, in_dataset, "train"),
                                   train_wnids,
-                                  per_class=max(1, train_images // 1000),
+                                  per_class=max(1, train_images
+                                                // len(train_wnids)),
                                   seed=7)
             open(tmarker, "w").close()
 
 
-def run_cli(root: str, extra, name: str, score: str = "MCM") -> float:
+def run_cli(root: str, extra, name: str, score: str = "MCM",
+            in_dataset: str = "ImageNet") -> float:
     cmd = [sys.executable, os.path.join(REPO, "eval_ood_detection.py"),
-           "--in_dataset", "ImageNet", "--root-dir", root,
+           "--in_dataset", in_dataset, "--root-dir", root,
            "--score", score, "--CLIP_ckpt", "ViT-B/16", "-b", "512",
            "--allow_random_weights",
            "--name", "soak"] + extra
@@ -100,11 +117,13 @@ def run_cli(root: str, extra, name: str, score: str = "MCM") -> float:
     if proc.returncode != 0:
         print(tail)
         raise SystemExit(f"{name}: CLI failed rc={proc.returncode}")
-    log_dir = os.path.join(root, "results", "ImageNet", score,
+    log_dir = os.path.join(root, "results", in_dataset, score,
                            "CLIP_ViT-B/16_T_1_ID_soak")
     missing = [f for f in
-               ["soak.csv", "ood_eval_info.log", "ID_ImageNet_scores.npy"]
-               + (["ID_ImageNet_features.npz"] if score != "maha" else [])
+               ["soak.csv", "ood_eval_info.log",
+                f"ID_{in_dataset}_scores.npy"]
+               + ([f"ID_{in_dataset}_features.npz"]
+                  if score != "maha" else [])
                + [f"{d}_scores.npy" for d in OOD_SETS]
                + [f"{score}_{d}.png" for d in OOD_SETS]
                if not os.path.exists(os.path.join(log_dir, f))]
@@ -118,6 +137,13 @@ def run_cli(root: str, extra, name: str, score: str = "MCM") -> float:
     acc = re.search(r"zero-shot accuracy: (top1 [\d.]+% top5 [\d.]+%)", log)
     print(f"{name}: wall {dt:.1f}s, loop throughput {thr:.1f} img/s, "
           f"{acc.group(1) if acc else 'no accuracy line'}")
+    if score == "maha":
+        # template-estimation telemetry (VERDICT r4 item 5: extraction
+        # throughput, covariance/inversion wall-clock, cond number)
+        for pat in (r"maha templates: .*", r"cond number: .*"):
+            hit = re.search(pat, log)
+            if hit:
+                print(f"  {hit.group(0)}")
     return dt
 
 
@@ -127,6 +153,11 @@ def main():
     ap.add_argument("--ood-images", type=int, default=2048)
     ap.add_argument("--train-images", type=int, default=2400)
     ap.add_argument("--root", default="/tmp/mcm_soak_tree")
+    ap.add_argument("--in_dataset", default="ImageNet",
+                    choices=["ImageNet", "ImageNet100"],
+                    help="ImageNet100 soaks the maha route at the "
+                         "reference's headline template scale: 100 real "
+                         "asset wnids × (--train-images/100) train JPEGs")
     ap.add_argument("--maha", action="store_true",
                     help="soak the Mahalanobis path instead: template "
                          "estimation over the train split (--subset), then "
@@ -143,14 +174,19 @@ def main():
 
     if args.maha:
         build_tree(args.root, args.id_images, args.ood_images,
-                   args.train_images)
-        maha_args = ["--subset", "1", "--max_count", "50",
-                     "--template_dir", os.path.join(args.root, "templates")]
-        cold = run_cli(args.root, maha_args, "maha cold", score="maha")
+                   args.train_images, in_dataset=args.in_dataset)
+        maha_args = ["--template_dir", os.path.join(args.root, "templates")]
+        if args.in_dataset == "ImageNet":
+            # the full-ImageNet tree is tiny per class; --subset caps the
+            # sweep like the reference's max_count path
+            maha_args += ["--subset", "1", "--max_count", "50"]
+        cold = run_cli(args.root, maha_args, "maha cold", score="maha",
+                       in_dataset=args.in_dataset)
         # second run: cached templates + cached scores via --resume
         warm = run_cli(args.root,
                        maha_args + ["--generate", "", "--resume"],
-                       "maha cached", score="maha")
+                       "maha cached", score="maha",
+                       in_dataset=args.in_dataset)
         tdir = os.path.join(args.root, "templates")
         npz = [f for f in os.listdir(tdir) if f.endswith(".npz")]
         assert npz, "no template cache written"
@@ -158,9 +194,11 @@ def main():
               f"vs cold {cold:.1f}s")
         return
 
-    build_tree(args.root, args.id_images, args.ood_images)
-    cold = run_cli(args.root, [], "cold")
-    warm = run_cli(args.root, ["--resume"], "resume")
+    build_tree(args.root, args.id_images, args.ood_images,
+               in_dataset=args.in_dataset)
+    cold = run_cli(args.root, [], "cold", in_dataset=args.in_dataset)
+    warm = run_cli(args.root, ["--resume"], "resume",
+                   in_dataset=args.in_dataset)
     n = args.id_images + len(OOD_SETS) * args.ood_images
     if warm > 0.7 * cold:  # gate BEFORE the success line — log greppers
         raise SystemExit("resume did not reuse cached scores (too slow)")
