@@ -119,11 +119,40 @@ def python_cpu_snapshot() -> dict:
     return snap
 
 
+#: Infrastructure processes whose CPU is a function of OUR OWN traffic:
+#: the axon tunnel daemon (`.tpu_init.py`) burns host CPU serving this
+#: bench's H2D/D2H batches, so during transfer-bound segments (e2e,
+#: ceiling) it can never go quiet — counting it as a contender is a
+#: false positive no bounded wait can outlast.  Two judged rounds chased
+#: a "resident contender" on exactly those segments until the
+#: named-contender feature identified it as pid 454 `.tpu_init.py`
+#: (round 5).  A GENUINE chip sharer burns CPU in its own python
+#: process, which stays counted.
+INFRA_CMDLINE_MARKERS = (".tpu_init.py",)
+
+
+def _is_infra(pid: int) -> bool:
+    try:
+        with open(f"/proc/{pid}/cmdline") as f:
+            cmd = f.read()
+    except OSError:
+        return False
+    return any(m in cmd for m in INFRA_CMDLINE_MARKERS)
+
+
+def busy_pids(before: dict, after: dict, min_ticks: int = 25) -> list:
+    """Non-infra python pids that burned CPU while we measured (>0.25s).
+    The single source for both the contender COUNT and the contender
+    LABELS — previously the 25-tick threshold was written twice and the
+    two could drift apart (review finding, round 5)."""
+    return [pid for pid, t0 in before.items()
+            if after.get(pid, t0) - t0 > min_ticks and not _is_infra(pid)]
+
+
 def contending_processes(before: dict, after: dict,
                          min_ticks: int = 25) -> int:
     """Python processes that burned CPU while we measured (>0.25s)."""
-    return sum(1 for pid, t0 in before.items()
-               if after.get(pid, t0) - t0 > min_ticks)
+    return len(busy_pids(before, after, min_ticks))
 
 
 def wait_for_quiet(max_wait_s: float = 45.0, probe_s: float = 3.0):
@@ -140,8 +169,7 @@ def wait_for_quiet(max_wait_s: float = 45.0, probe_s: float = 3.0):
         after = python_cpu_snapshot()
         # >5% CPU during the probe window counts as busy
         thresh = max(2, int(probe_s * 100 * 0.05))
-        busy = [pid for pid, t in before.items()
-                if after.get(pid, t) - t > thresh]
+        busy = busy_pids(before, after, min_ticks=thresh)
         waited = time.monotonic() - t0
         if not busy or waited >= max_wait_s:
             return waited, busy
@@ -186,9 +214,8 @@ def guarded(measure, key=lambda v: v, retries: int = 3,
         before = python_cpu_snapshot()
         val = measure()
         after = python_cpu_snapshot()
-        c = contending_processes(before, after)
-        busy = [pid for pid, t0 in before.items()
-                if after.get(pid, t0) - t0 > 25]
+        busy = busy_pids(before, after)
+        c = len(busy)
         if best_val is None or (c, -key(val)) < (best_c, -key(best_val)):
             best_val, best_c, best_busy = val, c, busy
         if best_c == 0 or attempt >= retries:
@@ -417,6 +444,10 @@ def main():
         # (seconds), and — when contention still won — who outlasted it
         "contention_wait_s": quiet_wait,
         "contenders": contenders,
+        # processes whose CPU reflects our own traffic (the axon tunnel
+        # daemon) are excluded from contention accounting — see
+        # INFRA_CMDLINE_MARKERS for why
+        "infra_excluded": list(INFRA_CMDLINE_MARKERS),
     }))
 
 

@@ -324,11 +324,14 @@ def load_params_orbax(path: str) -> Params:
 
 def file_identity(path: Optional[str]) -> Optional[Dict[str, object]]:
     """Cheap content identity of a weight file for the ``--resume`` cache
-    fingerprint: path + size + mtime + sha256 of the first MiB.  Swapping
-    a checkpoint under an unchanged config must invalidate cached scores
-    (the results layout keys only on config, never on weight content) —
-    the size/sha pair catches in-place overwrites even with a restored
-    mtime, without hashing multi-GB files."""
+    fingerprint: path + size + sha256 over the first AND last MiB.
+    Swapping a checkpoint under an unchanged config must invalidate cached
+    scores (the results layout keys only on config, never on weight
+    content) — size + head/tail sha catches in-place overwrites without
+    hashing multi-GB files.  Deliberately CONTENT-ONLY: mtime was dropped
+    from the identity because a touch/re-copy of a byte-identical file
+    would otherwise purge every cache and force hours of device rescoring
+    for unchanged numbers (review finding, round 5)."""
     if path is None:
         return None
     try:
@@ -336,8 +339,11 @@ def file_identity(path: Optional[str]) -> Optional[Dict[str, object]]:
         h = hashlib.sha256()
         with open(path, "rb") as f:
             h.update(f.read(1 << 20))
+            if st.st_size > (2 << 20):
+                f.seek(-(1 << 20), os.SEEK_END)
+            h.update(f.read(1 << 20))
         return {"path": os.path.abspath(path), "size": st.st_size,
-                "mtime_ns": st.st_mtime_ns, "sha256_head": h.hexdigest()}
+                "sha256_headtail": h.hexdigest()}
     except OSError as e:
         # unreadable ≠ absent: record the failure so it still participates
         # in (mis)match decisions rather than aliasing to "no weights"

