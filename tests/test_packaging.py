@@ -125,7 +125,8 @@ def test_wheel_ships_assets_and_decoder(installed):
 
 
 def test_entry_point_help(installed):
-    for ep in ("mcm-eval-ood", "mcm-eval-msp", "mcm-create-imagenet-subset"):
+    for ep in ("mcm-eval-ood", "mcm-eval-msp", "mcm-create-imagenet-subset",
+               "mcm-serve"):
         proc = subprocess.run([str(installed / ep), "--help"],
                               capture_output=True, text=True, timeout=120,
                               env=_clean_env(), cwd="/tmp")
