@@ -144,9 +144,14 @@ def busy_pids(before: dict, after: dict, min_ticks: int = 25) -> list:
     """Non-infra python pids that burned CPU while we measured (>0.25s).
     The single source for both the contender COUNT and the contender
     LABELS — previously the 25-tick threshold was written twice and the
-    two could drift apart (review finding, round 5)."""
-    return [pid for pid, t0 in before.items()
-            if after.get(pid, t0) - t0 > min_ticks and not _is_infra(pid)]
+    two could drift apart (review finding, round 5).  A pid present only
+    in ``after`` STARTED inside the window (the exact stray-bench class
+    the machinery exists to catch), so its absolute utime+stime IS its
+    burn during the measurement — baseline 0, counted (review finding,
+    round 5: iterating ``before`` alone made mid-window launches
+    invisible)."""
+    return [pid for pid, t1 in after.items()
+            if t1 - before.get(pid, 0) > min_ticks and not _is_infra(pid)]
 
 
 def contending_processes(before: dict, after: dict,

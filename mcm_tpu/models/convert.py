@@ -324,14 +324,21 @@ def load_params_orbax(path: str) -> Params:
 
 def file_identity(path: Optional[str]) -> Optional[Dict[str, object]]:
     """Cheap content identity of a weight file for the ``--resume`` cache
-    fingerprint: path + size + sha256 over the first AND last MiB.
+    fingerprint: path + size + sha256 over the first, MIDDLE and last MiB.
     Swapping a checkpoint under an unchanged config must invalidate cached
     scores (the results layout keys only on config, never on weight
-    content) — size + head/tail sha catches in-place overwrites without
+    content) — the sampled sha catches in-place overwrites without
     hashing multi-GB files.  Deliberately CONTENT-ONLY: mtime was dropped
     from the identity because a touch/re-copy of a byte-identical file
     would otherwise purge every cache and force hours of device rescoring
-    for unchanged numbers (review finding, round 5)."""
+    for unchanged numbers (review finding, round 5).  The middle slice
+    exists for flat non-container formats (raw safetensors, where a
+    single mid-file tensor CAN change with head/tail/size intact —
+    review finding, round 5); zip containers (.npz/.pt) already expose
+    any edit in their tail central-directory CRCs.  A same-size edit
+    confined to an unsampled region of a flat >3 MiB file remains
+    theoretically invisible — the full-hash alternative costs tens of
+    seconds per multi-GB file on this 1-core host, every run."""
     if path is None:
         return None
     try:
@@ -339,11 +346,14 @@ def file_identity(path: Optional[str]) -> Optional[Dict[str, object]]:
         h = hashlib.sha256()
         with open(path, "rb") as f:
             h.update(f.read(1 << 20))
+            if st.st_size > (3 << 20):
+                f.seek((st.st_size >> 1) - (1 << 19))
+                h.update(f.read(1 << 20))
             if st.st_size > (2 << 20):
                 f.seek(-(1 << 20), os.SEEK_END)
             h.update(f.read(1 << 20))
         return {"path": os.path.abspath(path), "size": st.st_size,
-                "sha256_headtail": h.hexdigest()}
+                "sha256_sampled": h.hexdigest()}
     except OSError as e:
         # unreadable ≠ absent: record the failure so it still participates
         # in (mis)match decisions rather than aliasing to "no weights"

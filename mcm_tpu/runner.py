@@ -478,12 +478,18 @@ def _weight_identity(cfg: RunConfig) -> Dict[str, object]:
     if cfg.finetune_ckpt and cfg.model != "CLIP-Linear":
         # vit-Linear: the probe-head npz overriding the classifier
         ident["finetune_ckpt"] = file_identity(cfg.finetune_ckpt)
-    if cfg.model != "vit-Linear":
+    if cfg.model != "vit-Linear" and cfg.score != "maha":
         # CLIP text tower: vocab.json/merges.txt determine every token id,
         # hence every text feature and score — swapping them under an
         # unchanged config must invalidate cached text features/scores
         # exactly like a swapped checkpoint.  None = hash-fallback
         # tokenizer, which itself participates in the (mis)match.
+        # Gated on the same condition as run_eval's needs_text: a maha
+        # run never tokenizes (image features only), and its caches live
+        # in their own score-keyed log_directory — fingerprinting the
+        # tokenizer there would purge hours of device rescoring the
+        # moment a vocab lands on disk, for identical numbers (review
+        # finding, round 5).
         tok_dir = CLIPTokenizer.resolve_dir(cfg.ckpt_dir)
         ident["tokenizer"] = None if tok_dir is None else {
             "vocab": file_identity(os.path.join(tok_dir, "vocab.json")),

@@ -9,10 +9,15 @@
 # disabling async dispatch reduces but does not eliminate it.
 #
 # This wrapper reruns the suite ONLY when pytest itself dies of that
-# abort (exit 134 / signal 6).  Genuine test failures (exit 1) and
-# usage/internal errors surface immediately with no retry, so a green
-# from this script means the same thing as a green from bare pytest —
-# minus the environmental asterisk (VERDICT r4 weak #4).
+# abort: exit 134 (128+SIGABRT) AND the crash banner "Fatal Python
+# error: Aborted" in the output.  Exit code alone is NOT enough — a
+# repo-caused abort() (say a race in the native decoder) would also exit
+# 134, and retrying that into a green would ship the bug (review
+# finding, round 5); the banner gate plus the echoed crash tail keep the
+# retry auditable.  Genuine test failures (exit 1) and usage/internal
+# errors surface immediately with no retry, so a green from this script
+# means the same thing as a green from bare pytest — minus the
+# environmental asterisk (VERDICT r4 weak #4).
 #
 # Usage: sh scripts/run_tests.sh [extra pytest args]
 set -u
@@ -20,20 +25,25 @@ cd "$(dirname "$0")/.."
 
 MAX_TRIES=3
 try=1
+log=$(mktemp /tmp/run_tests.XXXXXX)
+trap 'rm -f "$log" "$log.rc"' EXIT
 while :; do
-    python -m pytest tests/ -x -q "$@"
-    rc=$?
+    # tee so the output still streams; rc survives the pipe via a file
+    { python -m pytest tests/ -x -q "$@" 2>&1; echo "$?" > "$log.rc"; } \
+        | tee "$log"
+    rc=$(cat "$log.rc")
     if [ "$rc" -eq 0 ]; then
         [ "$try" -gt 1 ] && echo "run_tests.sh: green on attempt $try" \
             "(prior attempt(s) died of the known jaxlib SIGABRT)"
         exit 0
     fi
-    # 134 = 128+SIGABRT (shell); pytest can also propagate 250-ish
-    # internal errors — only the abort is retryable
-    if [ "$rc" -ne 134 ] || [ "$try" -ge "$MAX_TRIES" ]; then
+    if [ "$rc" -ne 134 ] || [ "$try" -ge "$MAX_TRIES" ] \
+            || ! grep -q "Fatal Python error: Aborted" "$log"; then
         exit "$rc"
     fi
-    echo "run_tests.sh: pytest died of SIGABRT (rc=134, the known jaxlib" \
-         "CPU abort, CLAUDE.md) — retrying ($try/$MAX_TRIES)"
+    echo "run_tests.sh: pytest died of SIGABRT with the jaxlib crash" \
+         "banner (rc=134, the known jaxlib CPU abort, CLAUDE.md) —" \
+         "retrying ($try/$MAX_TRIES).  Crash tail:"
+    tail -5 "$log" | sed 's/^/run_tests.sh:   /'
     try=$((try + 1))
 done

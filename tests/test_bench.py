@@ -53,11 +53,43 @@ def test_contention_excludes_infra_tunnel(monkeypatch):
     assert bench.contending_processes({infra: 0}, {infra: 5000}) == 0
 
 
-def test_is_infra_matches_tunnel_cmdline(tmp_path, monkeypatch):
-    """_is_infra keys on the cmdline marker, read from /proc."""
+def test_is_infra_matches_tunnel_cmdline():
+    """_is_infra keys on the marker in /proc/<pid>/cmdline — pinned
+    against a REAL child process whose argv carries the marker (a comm-
+    based or typo'd reimplementation would fail here: /proc comm truncates
+    to 15 chars and never contains '.tpu_init.py'), and negatively against
+    our own pid (review finding, round 5: the positive path was untested
+    while the other infra tests monkeypatch _is_infra away)."""
+    import os
+    import subprocess
+    import sys
     import bench
     assert not bench._is_infra(99999999)  # nonexistent pid → not infra
+    assert not bench._is_infra(os.getpid())  # pytest itself → not infra
     assert ".tpu_init.py" in bench.INFRA_CMDLINE_MARKERS
+    child = subprocess.Popen(
+        [sys.executable, "-c", "import time; time.sleep(60)",
+         ".tpu_init.py"])  # marker as an inert argv token, like the daemon
+    try:
+        assert bench._is_infra(child.pid)
+    finally:
+        child.kill()
+        child.wait()
+
+
+def test_busy_pids_counts_mid_window_start():
+    """A contender that STARTS after the pre-measure snapshot (absent from
+    `before`) is still counted — its absolute ticks are its burn during
+    the window (review finding, round 5: iterating `before` alone made
+    mid-window launches invisible to both the count and the labels)."""
+    import bench
+    before = {99999901: 100}
+    after = {99999901: 100, 99999902: 1000}  # 02 launched mid-window
+    assert bench.busy_pids(before, after) == [99999902]
+    # a freshly-started pid under the threshold stays uncounted
+    assert bench.busy_pids(before, {99999901: 100, 99999903: 5}) == []
+    # and one that exited mid-window (in before, gone from after) too
+    assert bench.busy_pids({99999904: 900}, {}) == []
 
 
 def _no_wait(monkeypatch, bench, waited=0.0):

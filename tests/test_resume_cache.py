@@ -211,7 +211,41 @@ def test_file_identity_content_only(tmp_path):
     blob[-1] = ord(b"y")                          # last byte only
     big.write_bytes(blob)
     assert file_identity(str(big)) != id3
+    # flat (non-zip) >3 MiB file edited ONLY in the exact middle — head,
+    # tail and size intact (a mid-file tensor overwritten in place in a
+    # raw safetensors; review finding, round 5): the middle slice sees it
+    flat = tmp_path / "model.safetensors"
+    blob = bytearray(b"x" * (5 << 20))
+    flat.write_bytes(blob)
+    id4 = file_identity(str(flat))
+    blob[len(blob) // 2] = ord(b"y")              # one mid-file byte
+    flat.write_bytes(blob)
+    assert file_identity(str(flat)) != id4
     assert file_identity(None) is None
+
+
+def test_weight_identity_skips_tokenizer_for_maha(tmp_path, monkeypatch):
+    """--score maha never tokenizes (needs_text is False; image features
+    only), so the fingerprint must NOT include the tokenizer: a vocab
+    landing in the checkpoint dir would otherwise purge hours of maha
+    device rescoring for identical numbers (review finding, round 5).
+    Safe because maha caches live in their own score-keyed
+    log_directory."""
+    from util_synth import make_clip_vocab
+    from mcm_tpu.runner import RunConfig, _weight_identity
+
+    kw = dict(in_dataset="pet37", root_dir="x", allow_random_weights=True,
+              ckpt_dir=str(tmp_path))
+    ident_maha = _weight_identity(RunConfig(score="maha", **kw))
+    assert "tokenizer" not in ident_maha
+    # the text-scoring fingerprint DOES key on the tokenizer appearing
+    ident_mcm0 = _weight_identity(RunConfig(score="MCM", **kw))
+    assert ident_mcm0["tokenizer"] is None
+    make_clip_vocab(str(tmp_path))
+    ident_mcm1 = _weight_identity(RunConfig(score="MCM", **kw))
+    assert ident_mcm1["tokenizer"] is not None
+    # ... while the maha fingerprint is unmoved by it
+    assert _weight_identity(RunConfig(score="maha", **kw)) == ident_maha
 
 
 def test_maha_fully_cached_resume_builds_no_templates(workdir, monkeypatch):
