@@ -68,13 +68,20 @@ def test_is_infra_matches_tunnel_cmdline():
     assert not bench._is_infra(os.getpid())  # pytest itself → not infra
     assert ".tpu_init.py" in bench.INFRA_CMDLINE_MARKERS
     child = subprocess.Popen(
-        [sys.executable, "-c", "import time; time.sleep(60)",
-         ".tpu_init.py"])  # marker as an inert argv token, like the daemon
+        [sys.executable, "-c", "print('up', flush=True); "
+         "import time; time.sleep(60)",
+         ".tpu_init.py"],  # marker as an inert argv token, like the daemon
+        stdout=subprocess.PIPE)
     try:
+        # wait for the child's first output: before exec completes,
+        # /proc/<pid>/cmdline still shows the forked parent's argv
+        # (no marker) — reading the line removes the race
+        assert child.stdout.readline().strip() == b"up"
         assert bench._is_infra(child.pid)
     finally:
         child.kill()
         child.wait()
+        child.stdout.close()
 
 
 def test_busy_pids_counts_mid_window_start():
