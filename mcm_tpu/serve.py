@@ -72,6 +72,13 @@ class OODDetector:
         self.batch_sizes = tuple(sorted(batch_sizes))
         if not self.batch_sizes:
             raise ValueError("batch_sizes must be non-empty")
+        if self.batch_sizes[0] < 1:
+            # a 0/negative bucket passes the divisibility check (0 % dp
+            # == 0) and only explodes at request time inside the
+            # dispatcher (_pad_to_bucket IndexError on every future) —
+            # fail at construction instead (review finding, round 5)
+            raise ValueError(f"batch_sizes must be positive, got "
+                             f"{self.batch_sizes}")
         self.params, tokenizer, self.step = build_model_and_step(cfg)
         from mcm_tpu.parallel.mesh import DATA_AXIS
         dp = self.step.mesh.shape[DATA_AXIS]
@@ -102,7 +109,13 @@ class OODDetector:
         (``detection_util.py:175-176``): pass the
         ``*_classwise_mean_*.pt`` path and the sibling ``*_precision_*.pt``
         is derived from it; the normalize flag is parsed from the
-        reference's ``_{True|False}.pt`` filename suffix."""
+        reference's ``_{True|False}.pt`` filename suffix.
+
+        Intended to run before serving traffic.  Calling it on a live
+        detector is safe per request — every public entry point snapshots
+        the scoring family once at entry, so no multi-chunk request mixes
+        CLIP and Mahalanobis scores — but requests already in flight
+        complete under whichever family they started with."""
         if path.endswith(".pt"):
             from mcm_tpu.scores.mahalanobis import load_pt_templates
             if "classwise_mean" not in os.path.basename(path):
@@ -184,20 +197,31 @@ class OODDetector:
         """[N, S, S, 3] uint8 (preprocessed) → [N] fp32 scores
         (lower = more in-distribution, the evaluator's convention)."""
         images_u8 = self._validate_images(images_u8, "score_images")
+        maha = self._maha   # one scoring family for the WHOLE request
         n = images_u8.shape[0]
         out = np.empty((n,), np.float32)
         done = 0
         while done < n:
             chunk = min(n - done, self.batch_sizes[-1])
             batch = self._pad_to_bucket(images_u8[done:done + chunk])
-            scores = self._score_device(self.step.put_batch(batch))
+            scores = self._score_device(self.step.put_batch(batch),
+                                        maha=maha)
             out[done:done + chunk] = np.asarray(scores)[:chunk]
             done += chunk
         return out
 
-    def _score_device(self, images_device):
-        if self._maha is not None:
-            mu, prec, norm = self._maha
+    #: sentinel: "read self._maha now" (dispatcher path) vs an explicit
+    #: per-request snapshot (public entry points) — a load_maha_templates
+    #: racing a multi-chunk request must not switch scoring families
+    #: mid-request (incomparable score halves behind one calibrated
+    #: threshold; review finding, round 5)
+    _MAHA_LIVE = object()
+
+    def _score_device(self, images_device, maha=_MAHA_LIVE):
+        if maha is OODDetector._MAHA_LIVE:
+            maha = self._maha
+        if maha is not None:
+            mu, prec, norm = maha
             feats = self.step.features(self.params, images_device)
             return self.step.maha(feats, mu, prec, normalize=norm)
         return self.step.score(self.params, images_device, self.text_feats)
@@ -223,7 +247,8 @@ class OODDetector:
         from mcm_tpu.scores.clip_scores import (CLIP_SCORES,
                                                 _scores_from_logits_host)
         images_u8 = self._validate_images(images_u8, "classify_images")
-        if self._maha is None and self.cfg.score not in CLIP_SCORES:
+        maha = self._maha   # one scoring family for the WHOLE request
+        if maha is None and self.cfg.score not in CLIP_SCORES:
             # e.g. score="odin": its input-perturbation score has no
             # host-from-logits form — mixing families behind one
             # threshold would be silent corruption, so refuse
@@ -249,11 +274,11 @@ class OODDetector:
             fn = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
             logits = fn @ self._text_host.T
             idx[done:done + chunk] = np.argmax(logits, axis=-1)
-            if self._maha is not None:
+            if maha is not None:
                 # score EXACTLY like _score_device — the calibrated
                 # threshold must mean the same thing on every entry
                 # point (pinned by test_maha_serving)
-                mu, prec, norm = self._maha
+                mu, prec, norm = maha
                 maha = self.step.maha(feats_dev, mu, prec, normalize=norm)
                 scores[done:done + chunk] = np.asarray(maha)[:chunk]
             else:
@@ -341,12 +366,14 @@ class OODDetector:
         if not ds:
             return np.zeros((0,), np.float32)
         b = self._bucket(len(ds))
+        maha = self._maha   # one scoring family for the WHOLE request
         pipe = DataPipeline(ds, b, image_size=self.image_size,
                             num_workers=num_workers, stripe=(0, b))
         stream = _StreamReadback()
         valids = []
         for batch in pipe:
-            stream.push(self._score_device(self.step.put_batch(batch.images)))
+            stream.push(self._score_device(self.step.put_batch(batch.images),
+                                           maha=maha))
             valids.append(batch.valid)
         return collect_scores(stream.finish(), valids, len(ds))
 
@@ -482,6 +509,16 @@ class MicroBatcher:
         classify path) shed load against the same budget."""
         with self._lock:
             return self._outstanding
+
+    @property
+    def alive(self) -> bool:
+        """False once closed OR after the dispatcher thread crashed (its
+        crash handler flips ``_closed``) — every subsequent submit is
+        refused, so a health endpoint keyed on this can take a dead
+        replica out of rotation instead of reporting build-time state
+        forever (review finding, round 5)."""
+        with self._lock:
+            return not self._closed
 
     def score(self, images_u8: np.ndarray) -> np.ndarray:
         """Blocking convenience: submit each image, gather scores.

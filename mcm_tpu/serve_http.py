@@ -167,12 +167,17 @@ class ServeMetrics:
 
     def record(self, endpoint: str, status: int, images: int = 0,
                latency_s: Optional[float] = None,
-               decode_failure: bool = False) -> None:
+               decode_failure: bool = False, shed: bool = False) -> None:
         with self._lock:
             key = (endpoint, status)
             self.requests[key] = self.requests.get(key, 0) + 1
             self.images += images
-            if status == 503:
+            if shed:
+                # only genuine load shedding: a 503 for "backend
+                # unavailable" (device failure, shutdown) is NOT overload
+                # — counting it would make a failing idle replica look
+                # traffic-saturated to dashboards/autoscalers keyed on
+                # mcm_overloaded_total (review finding, round 5)
                 self.overloaded += 1
             if decode_failure:
                 self.decode_failures += 1
@@ -234,8 +239,17 @@ class OODServer:
                  port: int = 8000, max_wait_ms: float = 5.0,
                  max_pending: Optional[int] = 4096,
                  max_body_bytes: int = MAX_BODY_BYTES,
-                 max_images_per_request: int = MAX_IMAGES_PER_REQUEST):
+                 max_images_per_request: int = MAX_IMAGES_PER_REQUEST,
+                 max_connections: int = 64):
         self.detector = detector
+        # concurrent-connection cap: ThreadingHTTPServer spawns one
+        # thread per accepted connection with NO limit
+        # (request_queue_size only bounds the accept backlog), so without
+        # this the per-request 64 MB body cap multiplies by an unbounded
+        # connection count — N malicious connections × max_body_bytes
+        # buffered bodies = OOM (review finding, round 5).  Excess
+        # connections get an immediate raw 503 without reading a byte.
+        self._conn_slots = threading.BoundedSemaphore(max_connections)
         # classify requests bypass the batcher, but they shed against the
         # same max_pending budget — this counts their in-flight images.
         # The extra_load hook reads the int WITHOUT _classify_lock
@@ -266,6 +280,7 @@ class OODServer:
         self._httpd.daemon_threads = False
         self._thread: Optional[threading.Thread] = None
         self._closed = False
+        self._started = False
         self._close_lock = threading.Lock()
         self._close_done = threading.Event()
 
@@ -275,6 +290,7 @@ class OODServer:
 
     def start(self) -> "OODServer":
         """Serve in a background thread (tests / embedding)."""
+        self._started = True
         self._thread = threading.Thread(target=self._httpd.serve_forever,
                                         name="mcm-http", daemon=True)
         self._thread.start()
@@ -282,6 +298,7 @@ class OODServer:
 
     def serve_forever(self) -> None:
         """Serve on the calling thread until interrupted (the CLI shape)."""
+        self._started = True
         try:
             self._httpd.serve_forever()
         finally:
@@ -301,7 +318,13 @@ class OODServer:
                 return
             self._closed = True
         try:
-            self._httpd.shutdown()
+            if self._started:
+                # shutdown() waits on an event only serve_forever() sets;
+                # on a constructed-but-never-served instance (context-
+                # manager body raised before start()) it would deadlock
+                # forever (review finding, round 5) — server_close()
+                # alone releases the socket in that case
+                self._httpd.shutdown()
             self._httpd.server_close()
             if self._thread is not None:
                 self._thread.join()
@@ -314,6 +337,41 @@ class OODServer:
 
     def __exit__(self, *exc) -> None:
         self.close()
+
+
+class _HeaderDeadlineFile:
+    """rfile proxy enforcing a wall-clock deadline across the request-line
+    + header phase.  The per-recv idle timeout resets on every byte, so a
+    client trickling one header byte every ~25 s could hold a (non-daemon)
+    handler thread for days — and with it a SIGTERM'd replica's graceful
+    drain (review finding, round 5; ``_read_body`` already bounds the BODY
+    phase the same way).  Armed per request by ``handle_one_request``,
+    disarmed once headers are parsed; pass-through while disarmed so
+    ``_read_body``'s own timeout management is untouched."""
+
+    def __init__(self, raw, conn, idle_timeout: float):
+        self._raw, self._conn, self._idle = raw, conn, idle_timeout
+        self.deadline: Optional[float] = None
+
+    def _arm_socket(self) -> None:
+        if self.deadline is None:
+            return
+        budget = self.deadline - time.monotonic()
+        if budget <= 0:
+            # handle_one_request catches TimeoutError and closes
+            raise TimeoutError("request header read deadline exceeded")
+        self._conn.settimeout(min(self._idle, budget))
+
+    def readline(self, limit: int = -1) -> bytes:
+        self._arm_socket()
+        return self._raw.readline(limit)
+
+    def read(self, n: int = -1) -> bytes:
+        self._arm_socket()
+        return self._raw.read(n)
+
+    def __getattr__(self, name):
+        return getattr(self._raw, name)
 
 
 def _make_handler(server: OODServer):
@@ -335,15 +393,70 @@ def _make_handler(server: OODServer):
         # long a slowloris-style trickler can pin a handler thread (and
         # thus how long a graceful drain can hang on one connection)
         body_deadline_s = 120.0
+        # same bound for the request-line + header phase (enforced by the
+        # _HeaderDeadlineFile rfile proxy; generous for any legitimate
+        # client — headers fit one packet)
+        header_deadline_s = 30.0
 
         def log_message(self, fmt, *args):  # noqa: N802 — stdlib name
             log.debug("%s %s", self.address_string(), fmt % args)
+
+        # -- connection lifecycle -----------------------------------------
+
+        def handle(self):  # noqa: A003 — stdlib name
+            # connection cap: past max_connections, reply a raw 503 and
+            # close WITHOUT reading anything — the whole point is not to
+            # buffer the excess connection's body
+            if not server._conn_slots.acquire(blocking=False):
+                metrics.record("connection", 503, shed=True)
+                body = b'{"error": "too many connections"}'
+                try:
+                    self.wfile.write(
+                        b"HTTP/1.1 503 Service Unavailable\r\n"
+                        b"Content-Type: application/json\r\n"
+                        b"Content-Length: " + str(len(body)).encode()
+                        + b"\r\nConnection: close\r\n\r\n" + body)
+                except OSError:
+                    pass
+                return
+            try:
+                super().handle()
+            finally:
+                server._conn_slots.release()
+
+        def setup(self):
+            super().setup()
+            # every header-phase read goes through the deadline proxy;
+            # body reads pass through once parse_request disarms it
+            self.rfile = _HeaderDeadlineFile(self.rfile, self.connection,
+                                             self.timeout)
+
+        def handle_one_request(self):
+            # arm per request (keep-alive connections parse many)
+            self.rfile.deadline = (time.monotonic()
+                                   + self.header_deadline_s)
+            try:
+                super().handle_one_request()
+            finally:
+                self.rfile.deadline = None
+                try:
+                    # restore the per-recv idle timeout for the next
+                    # keep-alive request on this connection
+                    self.connection.settimeout(self.timeout)
+                except OSError:
+                    pass
+
+        def parse_request(self):
+            ok = super().parse_request()
+            # headers are in; _read_body manages its own deadline
+            self.rfile.deadline = None
+            return ok
 
         # -- plumbing -----------------------------------------------------
 
         def _reply(self, status: int, payload, endpoint: str,
                    images: int = 0, latency_s: Optional[float] = None,
-                   decode_failure: bool = False,
+                   decode_failure: bool = False, shed: bool = False,
                    content_type: str = "application/json") -> None:
             body = (payload if isinstance(payload, bytes)
                     else json.dumps(payload).encode())
@@ -352,7 +465,7 @@ def _make_handler(server: OODServer):
             # this request counted
             metrics.record(endpoint, status, images=images,
                            latency_s=latency_s,
-                           decode_failure=decode_failure)
+                           decode_failure=decode_failure, shed=shed)
             self.send_response(status)
             self.send_header("Content-Type", content_type)
             self.send_header("Content-Length", str(len(body)))
@@ -444,8 +557,14 @@ def _make_handler(server: OODServer):
                 # parsed as the next request — close instead of desyncing
                 self.close_connection = True
             if self.path == "/healthz":
-                self._reply(200, {
-                    "status": "ok",
+                # liveness must track the dispatcher, not build-time
+                # state: after the MicroBatcher closes (shutdown drain or
+                # a dispatcher crash) every score request gets 503, and a
+                # load balancer probing /healthz must see that too or the
+                # dead replica stays in rotation (review finding, round 5)
+                alive = batcher.alive
+                self._reply(200 if alive else 503, {
+                    "status": "ok" if alive else "unavailable",
                     "model": detector.cfg.clip_ckpt,
                     "score": detector.cfg.score,
                     "image_size": detector.image_size,
@@ -480,7 +599,8 @@ def _make_handler(server: OODServer):
                 # submit time below)
                 if batcher.pending + server._classify_inflight \
                         > batcher.max_pending:
-                    self._reply(503, {"error": "overloaded"}, "/v1/score")
+                    self._reply(503, {"error": "overloaded"}, "/v1/score",
+                                shed=True)
                     return
             t0 = time.monotonic()
             classify = "classify=1" in query.split("&")
@@ -541,7 +661,16 @@ def _make_handler(server: OODServer):
                     scores = [float(x)
                               for x in batcher.score(np.stack(images))]
             except Overloaded as e:
-                self._reply(503, {"error": str(e)}, "/v1/score")
+                self._reply(503, {"error": str(e)}, "/v1/score", shed=True)
+                return
+            except ValueError as e:
+                # a request asking for something this detector refuses —
+                # e.g. ?classify=1 on a score family without a host-
+                # from-logits form (serve.py raises with a client-
+                # actionable message) — is the CLIENT's 400, not a
+                # connection-aborting server traceback (review finding,
+                # round 5)
+                self._reply(400, {"error": str(e)}, "/v1/score")
                 return
             except RuntimeError:
                 # batcher closed mid-shutdown, or a device/runtime
@@ -633,6 +762,11 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                    help="microbatch coalescing window")
     p.add_argument("--max-pending", type=int, default=4096,
                    help="load-shed bound on queued requests")
+    p.add_argument("--max-connections", type=int, default=64,
+                   help="concurrent-connection cap (bounds aggregate "
+                        "request-body memory at max-connections × 64 MB "
+                        "worst case); excess connections get an "
+                        "immediate 503")
     p.add_argument("--max-batch-images", type=int,
                    default=MAX_IMAGES_PER_REQUEST,
                    help="cap on images_b64 rows per JSON request (each "
@@ -702,7 +836,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     server = OODServer(detector, host=args.host, port=args.port,
                        max_wait_ms=args.max_wait_ms,
                        max_pending=args.max_pending,
-                       max_images_per_request=args.max_batch_images)
+                       max_images_per_request=args.max_batch_images,
+                       max_connections=args.max_connections)
 
     # graceful drain: stop accepting, finish in-flight requests, then
     # exit — a SIGTERM'd replica must not drop scores it already owes.

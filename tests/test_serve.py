@@ -165,6 +165,38 @@ def test_detector_rejects_maha_and_bad_buckets():
     with pytest.raises(ValueError, match="not divisible"):
         OODDetector(class_names=["a"], allow_random_weights=True,
                     batch_sizes=(3,), n_devices=2)
+    # a 0 bucket passes divisibility (0 % dp == 0) and would only explode
+    # at request time inside the dispatcher (review finding, round 5)
+    with pytest.raises(ValueError, match="positive"):
+        OODDetector(class_names=["a"], allow_random_weights=True,
+                    batch_sizes=(0, 4), n_devices=1)
+
+
+def test_score_images_snapshots_scoring_family(detector, monkeypatch):
+    """A load_maha_templates racing a multi-chunk request must not switch
+    scoring families mid-request: the entry points snapshot self._maha
+    once, so every chunk scores under the family the request started with
+    (review finding, round 5)."""
+    orig = detector._score_device
+    seen = []
+
+    def spy(images_device, maha=type(detector)._MAHA_LIVE):
+        seen.append(maha)
+        # simulate a concurrent load_maha_templates landing mid-request
+        detector._maha = ("mu", "prec", False)
+        return orig(images_device, maha=maha)
+
+    monkeypatch.setattr(detector, "_score_device", spy)
+    try:
+        rng = np.random.default_rng(11)
+        imgs = rng.integers(0, 256, (6, 224, 224, 3), dtype=np.uint8)
+        scores = detector.score_images(imgs)   # buckets (1,4) → 2 chunks
+        assert len(seen) == 2
+        # both chunks got the SNAPSHOT (None), not the mid-request swap
+        assert seen == [None, None]
+        assert np.isfinite(scores).all()
+    finally:
+        detector._maha = None  # restore for other tests (module fixture)
 
 
 def test_maha_serving(detector, tmp_path):

@@ -596,3 +596,120 @@ def test_cli_classnames_file(tmp_path):
         in_dataset = "pet37"  # needs dataset metadata → helpful error
     with pytest.raises(SystemExit, match="classnames-file"):
         _load_class_names(C())
+
+
+# -- round-5 serving-hardening review fixes ---------------------------------
+
+
+def test_metrics_overloaded_counts_only_shed():
+    """mcm_overloaded_total must count genuine load shedding, not every
+    503: a 'backend unavailable' failure on an idle replica would
+    otherwise read as traffic overload to autoscalers (review finding,
+    round 5)."""
+    from mcm_tpu.serve_http import ServeMetrics
+    m = ServeMetrics()
+    m.record("/v1/score", 503)             # backend failure: not shed
+    assert m.overloaded == 0
+    m.record("/v1/score", 503, shed=True)  # load shed
+    m.record("connection", 503, shed=True)
+    assert m.overloaded == 2
+    assert m.requests[("/v1/score", 503)] == 2
+
+
+def test_healthz_tracks_batcher_liveness(detector):
+    """/healthz must flip to 503 once the dispatcher is gone (crash or
+    drain) — a load balancer probing it otherwise keeps routing to a
+    replica whose every score request 503s (review finding, round 5)."""
+    from mcm_tpu.serve_http import OODServer
+    with OODServer(detector, host="127.0.0.1", port=0) as srv:
+        srv.start()
+        status, body, _ = _request(srv, "GET", "/healthz")
+        assert status == 200 and json.loads(body)["status"] == "ok"
+        srv.batcher.close()   # as after a dispatcher crash
+        status, body, _ = _request(srv, "GET", "/healthz")
+        assert status == 503
+        assert json.loads(body)["status"] == "unavailable"
+
+
+def test_classify_refusal_is_a_400_not_a_dropped_connection(server,
+                                                            monkeypatch):
+    """A ValueError out of the scoring call (e.g. ?classify=1 on a score
+    family without a host-from-logits form) must surface as the client's
+    400, not abort the connection with a server traceback (review
+    finding, round 5)."""
+    def refuse(images):
+        raise ValueError("classify_images supports ... use score_images")
+    monkeypatch.setattr(server.detector, "classify_images", refuse)
+    rng = np.random.default_rng(7)
+    status, body, _ = _request(server, "POST", "/v1/score?classify=1",
+                               body=_jpeg_bytes(rng))
+    assert status == 400
+    assert "score_images" in json.loads(body)["error"]
+
+
+def test_connection_cap_sheds_with_raw_503(detector):
+    """Past max_connections, a new connection gets an immediate 503
+    WITHOUT the server reading (or buffering) anything from it — the cap
+    is what bounds aggregate body memory (review finding, round 5)."""
+    import socket
+    import time as _time
+    from mcm_tpu.serve_http import OODServer
+    with OODServer(detector, host="127.0.0.1", port=0,
+                   max_connections=1) as srv:
+        srv.start()
+        # occupy the single slot with an idle connection (its handler
+        # thread blocks in the header read)
+        holder = socket.create_connection(("127.0.0.1", srv.port),
+                                          timeout=10)
+        try:
+            deadline = _time.monotonic() + 10
+            while srv._conn_slots._value != 0:  # noqa: SLF001 — test-only
+                assert _time.monotonic() < deadline, "slot never acquired"
+                _time.sleep(0.01)
+            status, body, _ = _request(srv, "GET", "/healthz")
+            assert status == 503
+            assert "too many connections" in json.loads(body)["error"]
+        finally:
+            holder.close()
+        # slot released → next request serves normally
+        deadline = _time.monotonic() + 10
+        while srv._conn_slots._value != 1:  # noqa: SLF001
+            assert _time.monotonic() < deadline, "slot never released"
+            _time.sleep(0.01)
+        status, _, _ = _request(srv, "GET", "/healthz")
+        assert status == 200
+
+
+def test_header_trickle_hits_deadline(detector):
+    """A client trickling headers (or idling mid-header) must lose its
+    connection at header_deadline_s — the per-recv idle timeout alone
+    resets on every byte, letting a slowloris client pin a non-daemon
+    handler thread and hang graceful drain (review finding, round 5)."""
+    import socket
+    from mcm_tpu.serve_http import OODServer
+    with OODServer(detector, host="127.0.0.1", port=0) as srv:
+        srv._httpd.RequestHandlerClass.header_deadline_s = 1.0
+        srv.start()
+        conn = socket.create_connection(("127.0.0.1", srv.port),
+                                        timeout=15)
+        try:
+            # partial request: headers never complete
+            conn.sendall(b"GET /healthz HTTP/1.1\r\nHost: x\r\n")
+            # server must close (recv -> b"") rather than wait forever
+            conn.settimeout(15)
+            assert conn.recv(1024) == b""
+        finally:
+            conn.close()
+
+
+def test_close_without_start_does_not_deadlock(detector):
+    """`with OODServer(...)` whose body raises before start(): __exit__'s
+    close() used to call shutdown(), which waits on an event only
+    serve_forever() ever sets — deadlock (review finding, round 5)."""
+    import threading
+    from mcm_tpu.serve_http import OODServer
+    srv = OODServer(detector, host="127.0.0.1", port=0)
+    t = threading.Thread(target=srv.close, daemon=True)
+    t.start()
+    t.join(timeout=20)
+    assert not t.is_alive(), "close() deadlocked on a never-started server"

@@ -49,7 +49,7 @@ def make_jpegs(n, seed=0):
     return blobs
 
 
-def post(port, path, body, ctype, timeout=600):
+def post(port, path, body, ctype, timeout=1200):
     conn = http.client.HTTPConnection("127.0.0.1", port, timeout=timeout)
     try:
         conn.request("POST", path, body=body,
@@ -73,14 +73,23 @@ def main():
         det = OODDetector(class_names=[f"class {i}" for i in range(1000)],
                           allow_random_weights=True,
                           batch_sizes=(1, 8, 64))
+    # warm every bucket executable BEFORE serving, through the production
+    # path (mcm-serve --warmup): serve.py warms buckets CONCURRENTLY, so
+    # a never-compiled family costs ~max, not ~sum, of the per-bucket
+    # compiles.  Serial warm-by-request posts hit the tunnel's worst-case
+    # compile regime instead — two soak runs (2026-08-20) blew a 600 s
+    # client timeout on the FIRST bucket-1 post exactly there.
+    t0 = time.perf_counter()
+    det.warmup()
+    warm_s = time.perf_counter() - t0
+    print(f"warmup (3 buckets, concurrent): {warm_s:.1f} s", flush=True)
+
     srv = OODServer(det, host="127.0.0.1", port=0, max_wait_ms=5.0)
     srv.start()
     port = srv.port
     blobs = make_jpegs(BURST_THREADS)
 
-    # warm every bucket executable (first exec per process is a ~60 s
-    # remote load through the tunnel)
-    t0 = time.perf_counter()
+    # HTTP-layer smoke through each content type (compiles nothing new)
     post(port, "/v1/score", blobs[0], "image/jpeg")
     b64 = [base64.b64encode(b).decode() for b in blobs]
     post(port, "/v1/score",
@@ -88,8 +97,6 @@ def main():
     post(port, "/v1/score",
          json.dumps({"images_b64": (b64 * 4)[:BATCH_SIZE]}),
          "application/json")
-    warm_s = time.perf_counter() - t0
-    print(f"warmup (3 buckets): {warm_s:.1f} s", flush=True)
 
     # -- serial floor --------------------------------------------------------
     t0 = time.perf_counter()
