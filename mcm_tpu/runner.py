@@ -40,7 +40,7 @@ from mcm_tpu.text import CLIPTokenizer, build_prompts
 from mcm_tpu.text.prompts import DEFAULT_TEMPLATE, OPENAI_IMAGENET_TEMPLATES
 from mcm_tpu.utils import Telemetry, save_scores, load_scores, setup_log
 from mcm_tpu.utils.plotting import plot_distribution
-from mcm_tpu.utils.results import save_as_dataframe
+from mcm_tpu.utils.results import atomic_write, save_as_dataframe
 from mcm_tpu.utils.seed import setup_seed
 
 
@@ -111,8 +111,13 @@ class _HashTokenizer:
         self.bos_id, self.eos_id = vocab_size - 2, vocab_size - 1
         self.pad_id = self.eos_id
 
-    def __call__(self, texts: Sequence[str], pad_to_multiple: int = 8,
-                 context_length: Optional[int] = None):
+    def __call__(self, texts: Sequence[str],
+                 context_length: Optional[int] = None,
+                 pad_to_multiple: Optional[int] = None):
+        # parameter ORDER matches CLIPTokenizer.__call__ exactly: a future
+        # positional call must mean the same thing on the smoke fallback
+        # as on the real tokenizer, or shapes silently diverge between
+        # smoke and real runs (review finding, round 5)
         import hashlib
 
         from mcm_tpu.text.tokenizer import pad_token_rows
@@ -130,7 +135,7 @@ class _HashTokenizer:
                               context_length)
 
 
-def _build_vit_linear(cfg: RunConfig):
+def _build_vit_linear(cfg: RunConfig, defer_put: bool = False):
     """Supervised ViT + linear head (reference ``vit-Linear``,
     ``detection_util.py:124-133``): backbone from an HF
     ``google/vit-base-patch16-224`` snapshot; head = the checkpoint's own
@@ -164,7 +169,7 @@ def _build_vit_linear(cfg: RunConfig):
     step = VitLinearStep(vit_cfg, score=cfg.score, T=cfg.T,
                          precision=resolve_precision(cfg.precision),
                          mesh=mesh, noise_magnitude=cfg.noise_magnitude)
-    return step.put_params(params), None, step
+    return (params if defer_put else step.put_params(params)), None, step
 
 
 def _validate_batch_divisibility(cfg: RunConfig, mesh) -> None:
@@ -180,11 +185,16 @@ def _validate_batch_divisibility(cfg: RunConfig, mesh) -> None:
             f"is padded to the static batch size, so the tail is fine)")
 
 
-def build_model_and_step(cfg: RunConfig, log=None):
+def build_model_and_step(cfg: RunConfig, log=None, defer_put: bool = False):
     """Resolve weights + tokenizer, build the mesh-bound eval step
-    (EvalStep for CLIP towers; VitLinearStep for --model vit-Linear)."""
+    (EvalStep for CLIP towers; VitLinearStep for --model vit-Linear).
+
+    ``defer_put=True`` returns HOST params (no device upload) — run_eval
+    uses it so a fully-cached ``--resume`` never pays the multi-hundred-MB
+    param H2D through the tunnel (device-free-resume contract; the caller
+    uploads with ``step.put_params`` on first device use)."""
     if cfg.model == "vit-Linear":
-        return _build_vit_linear(cfg)
+        return _build_vit_linear(cfg, defer_put=defer_put)
 
     clip_cfg = CLIP_CONFIGS[cfg.clip_ckpt]()
     precision = resolve_precision(cfg.precision)
@@ -208,6 +218,13 @@ def build_model_and_step(cfg: RunConfig, log=None):
         params = load_params(cfg.finetune_ckpt)
     else:
         params = resolve_clip_params(cfg.clip_ckpt, cfg.ckpt_dir)
+    if log is not None and params is not None:
+        # record WHICH weight file fed this run: the judged CSVs key on
+        # flags only, so the log is the one place the provenance lives
+        from mcm_tpu.models.convert import resolve_clip_weight_source
+        src = (cfg.finetune_ckpt if cfg.model == "CLIP-Linear"
+               else resolve_clip_weight_source(cfg.clip_ckpt, cfg.ckpt_dir))
+        log.debug(f"weights resolved from {src}")
     if params is None:
         if not cfg.allow_random_weights:
             raise FileNotFoundError(
@@ -232,7 +249,7 @@ def build_model_and_step(cfg: RunConfig, log=None):
     step = EvalStep(clip_cfg, score=cfg.score if cfg.score != "maha" else "MCM",
                     T=cfg.T, precision=precision, mesh=mesh,
                     noise_magnitude=cfg.noise_magnitude)
-    return step.put_params(params), tokenizer, step
+    return (params if defer_put else step.put_params(params)), tokenizer, step
 
 
 def _encode_prompts(step: EvalStep, params, tokenizer, class_names,
@@ -251,8 +268,11 @@ def _encode_prompts(step: EvalStep, params, tokenizer, class_names,
     if ensemble and len(templates) > 1:
         n_t, n_c = len(templates), len(class_names)
         text = text.reshape(n_t, n_c, -1).mean(axis=0)  # template-major order
-        text = l2_normalize(text)
-    return step.put_replicated(text)
+        # re-place only the DERIVED array; encode_text already returned a
+        # replicated-on-mesh result, and a redundant put costs a tunnel
+        # round trip per dataset (review finding, round 5)
+        return step.put_replicated(l2_normalize(text))
+    return text
 
 
 class _StreamReadback:
@@ -338,9 +358,23 @@ def extract_features(step: EvalStep, params, dataset, cfg: RunConfig,
                         dataset, cfg, telemetry, collect_labels=True)
 
 
-def _maha_templates(cfg: RunConfig, step: EvalStep, params, log,
+def _weight_content_sig(cfg: RunConfig) -> Optional[Dict[str, object]]:
+    """Machine-independent content identity of the resolved weights (size
+    + sampled sha only — no path, so templates travel between hosts).
+    None when unresolvable (random-weights smoke runs)."""
+    ident = _weight_identity(cfg).get("weights")
+    if not ident or "sha256_sampled" not in ident:
+        return None
+    return {"size": ident["size"], "sha": ident["sha256_sampled"]}
+
+
+def _maha_templates(cfg: RunConfig, step: EvalStep, get_params, log,
                     telemetry: Optional[Telemetry] = None):
-    """Estimate or load class means + precision (reference ``main:72-78``)."""
+    """Estimate or load class means + precision (reference ``main:72-78``).
+
+    ``get_params`` is a zero-arg callable returning device params — called
+    only on the regenerate path, so a cached-template load stays free of
+    the param H2D upload (device-free-resume contract)."""
     os.makedirs(cfg.template_dir, exist_ok=True)
     # the checkpoint name is part of the tag — the reference's naming
     # ({model}_..., model='CLIP') lets B/16 and B/32 share 512-d templates
@@ -370,19 +404,23 @@ def _maha_templates(cfg: RunConfig, step: EvalStep, params, log,
             mu, prec = load_pt_templates(mu_pt, prec_pt)
             log.debug(f"loaded reference-format .pt templates from "
                       f"{mu_pt} / {prec_pt}")
-            np.savez(path, classwise_mean=mu, precision=prec,
-                     normalize=cfg.normalize)
+            # no weight_sig: the .pt pair came from the reference's run —
+            # which weights produced it is unknowable here
+            atomic_write(path, lambda f: np.savez(
+                f, classwise_mean=mu, precision=prec,
+                normalize=cfg.normalize))
         else:
             raise FileNotFoundError(
                 f"--generate was disabled but no cached Mahalanobis "
                 f"templates exist at {path} (nor a reference-format pair at "
                 f"{mu_pt}); run once with --generate first")
+    sig = _weight_content_sig(cfg)
     if regenerate or not os.path.exists(path):
         train_ds = set_train_loader(cfg.in_dataset, cfg.root_dir,
                                     subset=cfg.subset,
                                     max_count=cfg.max_count)
         t0 = time.perf_counter()
-        feats, labels = extract_features(step, params, train_ds, cfg,
+        feats, labels = extract_features(step, get_params(), train_ds, cfg,
                                          telemetry)
         t_extract = time.perf_counter() - t0
         n_cls = len(get_test_labels(cfg.in_dataset, train_ds))
@@ -396,12 +434,33 @@ def _maha_templates(cfg: RunConfig, step: EvalStep, params, log,
                   f"{t_extract:.1f}s ({len(feats) / max(t_extract, 1e-9):.1f}"
                   f" img/s); fp64 covariance+inverse {t_estimate:.1f}s")
         # normalize is recorded so downstream consumers (serve.py's
-        # load_maha_templates) can't silently score with the wrong flag
-        np.savez(path, classwise_mean=mu, precision=prec,
-                 normalize=cfg.normalize)
-    data = np.load(path)
-    return (step.put_replicated(data["classwise_mean"]),
-            step.put_replicated(data["precision"]))
+        # load_maha_templates) can't silently score with the wrong flag;
+        # weight_sig ties the templates to the weights that produced them
+        extra = {"weight_sig": json.dumps(sig)} if sig else {}
+        atomic_write(path, lambda f: np.savez(
+            f, classwise_mean=mu, precision=prec,
+            normalize=cfg.normalize, **extra))
+    with np.load(path) as data:
+        # templates live OUTSIDE the fingerprint-purged log_directory, so
+        # a swapped checkpoint under an unchanged config would otherwise
+        # silently score new-weight features against old-weight mu/prec —
+        # the stale-mix class the meta fingerprint kills for every other
+        # cache (review finding, round 5)
+        if "weight_sig" in data and sig is not None:
+            stored = json.loads(str(data["weight_sig"]))
+            if stored != sig:
+                raise ValueError(
+                    f"Mahalanobis templates at {path} were estimated from "
+                    f"DIFFERENT weights than this run resolves (stored "
+                    f"size/sha {stored} vs current {sig}); rerun with "
+                    f"--generate to re-estimate, or delete the file")
+        elif "weight_sig" not in data:
+            log.debug(f"templates at {path} carry no weight fingerprint "
+                      f"(pre-round-5 cache or reference .pt ingestion) — "
+                      f"weight/template consistency not verifiable")
+        mu_arr, prec_arr = data["classwise_mean"], data["precision"]
+    return (step.put_replicated(mu_arr),
+            step.put_replicated(prec_arr))
 
 
 def maha_score_dataset(step: EvalStep, params, dataset, mu, prec,
@@ -437,20 +496,23 @@ def _log_id_accuracy(cfg: RunConfig, feats, labels, text_feats, log) -> None:
     log.debug(f"ID zero-shot accuracy: top1 {top1:.2f}% top5 {top5:.2f}%")
 
 
-def _id_features_cached(step, params, val_ds, cfg: RunConfig, log,
+def _id_features_cached(step, get_params, val_ds, cfg: RunConfig, log,
                         maybe_profile, telemetry=None):
     """ID features (+labels), honoring --resume (the round-1 asymmetry:
-    only scores were cached, so resume + --eval_accuracy re-extracted)."""
+    only scores were cached, so resume + --eval_accuracy re-extracted).
+    ``get_params`` (zero-arg callable) is invoked only on cache miss, so
+    the cached path stays free of the param H2D upload."""
     path = os.path.join(cfg.log_directory,
                         f"ID_{cfg.in_dataset}_features.npz")
     if cfg.resume and os.path.exists(path):
-        data = np.load(path)
-        log.debug(f"resume: loaded cached ID features for {cfg.in_dataset}")
-        return data["features"], data["labels"]
+        with np.load(path) as data:
+            log.debug(f"resume: loaded cached ID features for "
+                      f"{cfg.in_dataset}")
+            return data["features"], data["labels"]
     with maybe_profile(cfg.trace_dir):
-        feats, labels = extract_features(step, params, val_ds, cfg,
+        feats, labels = extract_features(step, get_params(), val_ds, cfg,
                                          telemetry)
-    np.savez(path, features=feats, labels=labels)
+    atomic_write(path, lambda f: np.savez(f, features=feats, labels=labels))
     return feats, labels
 
 
@@ -601,8 +663,21 @@ def run_eval(cfg: RunConfig) -> Dict[str, Dict[str, float]]:
 
     # build BEFORE the cache-meta check: weight resolution may write the
     # native .npz cache, and the fingerprint must record the artifact
-    # subsequent runs will actually load
-    params, tokenizer, step = build_model_and_step(cfg, log)
+    # subsequent runs will actually load.  defer_put: the params stay on
+    # the HOST until first device use — a fully-cached --resume must not
+    # pay the multi-hundred-MB param H2D through the tunnel for programs
+    # that never execute (device-free-resume contract; review finding,
+    # round 5)
+    params_host, tokenizer, step = build_model_and_step(cfg, log,
+                                                        defer_put=True)
+    _params: Dict[str, object] = {}
+
+    def dev_params():
+        """Mesh-placed params, uploaded on FIRST device use only."""
+        if "dev" not in _params:
+            _params["dev"] = step.put_params(params_host)
+        return _params["dev"]
+
     cfg = _check_cache_meta(cfg, log)
     out_datasets = cfg.out_datasets or default_out_datasets(cfg.in_dataset)
 
@@ -631,8 +706,8 @@ def run_eval(cfg: RunConfig) -> Dict[str, Dict[str, float]]:
             if "host" in _text:
                 _text["dev"] = step.put_replicated(_text["host"])
             else:
-                _text["dev"] = _encode_prompts(step, params, tokenizer,
-                                               test_labels,
+                _text["dev"] = _encode_prompts(step, dev_params(),
+                                               tokenizer, test_labels,
                                                cfg.template_ensemble)
         return _text["dev"]
 
@@ -646,11 +721,13 @@ def run_eval(cfg: RunConfig) -> Dict[str, Dict[str, float]]:
         if "host" not in _text:
             if (cfg.resume and "dev" not in _text
                     and os.path.exists(_text_cache)):
-                _text["host"] = np.load(_text_cache)["text_features"]
+                with np.load(_text_cache) as data:
+                    _text["host"] = data["text_features"]
                 log.debug("resume: loaded cached text features")
             else:
                 _text["host"] = np.asarray(text_dev(), dtype=np.float32)
-                np.savez(_text_cache, text_features=_text["host"])
+                atomic_write(_text_cache, lambda f: np.savez(
+                    f, text_features=_text["host"]))
         return _text["host"]
 
     _maha: Dict[str, object] = {}
@@ -660,8 +737,8 @@ def run_eval(cfg: RunConfig) -> Dict[str, Dict[str, float]]:
         templates (with the default --generate that would re-extract the
         whole train set on device for values no dataset ends up using)."""
         if "mu" not in _maha:
-            _maha["mu"], _maha["prec"] = _maha_templates(cfg, step, params,
-                                                         log, telemetry)
+            _maha["mu"], _maha["prec"] = _maha_templates(
+                cfg, step, dev_params, log, telemetry)
         return _maha["mu"], _maha["prec"]
 
     def scores_for(dataset, ds_name, in_dist):
@@ -672,10 +749,10 @@ def run_eval(cfg: RunConfig) -> Dict[str, Dict[str, float]]:
                 return cached
         if cfg.score == "maha":
             mu, prec = maha_templates()
-            s = maha_score_dataset(step, params, dataset, mu, prec, cfg,
-                                   in_dist, telemetry)
+            s = maha_score_dataset(step, dev_params(), dataset, mu, prec,
+                                   cfg, in_dist, telemetry)
         else:
-            s = score_dataset(step, params, dataset, text_dev(), cfg,
+            s = score_dataset(step, dev_params(), dataset, text_dev(), cfg,
                               telemetry)
         save_scores(cfg.log_directory, ds_name, s)
         return s
@@ -693,8 +770,8 @@ def run_eval(cfg: RunConfig) -> Dict[str, Dict[str, float]]:
         # single ID pass: extract features once, derive both the OOD scores
         # and the accuracy from them (no second encode epoch); features are
         # cached so --resume skips re-extraction too (not just scores)
-        feats, labels = _id_features_cached(step, params, val_ds, cfg, log,
-                                            maybe_profile, telemetry)
+        feats, labels = _id_features_cached(step, dev_params, val_ds, cfg,
+                                            log, maybe_profile, telemetry)
         # scores from HOST-cached features compute on the host: a fresh
         # device executable for this 3-GFLOP segment costs minutes of
         # remote compile on tunneled dev TPUs (docs/PERF.md round 3)
@@ -719,8 +796,9 @@ def run_eval(cfg: RunConfig) -> Dict[str, Dict[str, float]]:
                               "(no prompt features to classify against)")
             else:  # odin/parity: accuracy from a separate (cached)
                    # feature pass — scores stay pure device output
-                feats, labels = _id_features_cached(step, params, val_ds,
-                                                    cfg, log, maybe_profile,
+                feats, labels = _id_features_cached(step, dev_params,
+                                                    val_ds, cfg, log,
+                                                    maybe_profile,
                                                     telemetry)
                 _log_id_accuracy(cfg, feats, labels, text_host(), log)
 

@@ -137,6 +137,26 @@ class OODDetector:
             data = np.load(path)
             stored = (bool(data["normalize"]) if "normalize" in data
                       else None)
+            if "weight_sig" in data:
+                # templates are tied to the weights that produced them
+                # (runner._maha_templates embeds size+sha); scoring this
+                # detector's features against another checkpoint's
+                # mu/prec is silent corruption, same as a wrong
+                # normalize flag (review finding, round 5)
+                import json as _json
+                from mcm_tpu.runner import _weight_identity
+                ident = _weight_identity(self.cfg).get("weights") or {}
+                if "sha256_sampled" in ident:
+                    sig = {"size": ident["size"],
+                           "sha": ident["sha256_sampled"]}
+                    tmpl = _json.loads(str(data["weight_sig"]))
+                    if tmpl != sig:
+                        raise ValueError(
+                            f"templates at {path} were estimated from "
+                            f"different weights than this detector "
+                            f"resolves (template size/sha {tmpl} vs "
+                            f"detector {sig}); regenerate them with the "
+                            f"batch evaluator (--score maha --generate)")
         if normalize is None:
             if stored is None:
                 raise ValueError(

@@ -177,5 +177,13 @@ def make_train_step(cfg: CLIPConfig,
     jitted_step = jax.jit(
         train_step,
         in_shardings=(None, batch_sh, batch_sh, batch_sh),
-        out_shardings=(None, repl))
+        out_shardings=(None, repl),
+        # donate the input TrainState: without it XLA holds input AND
+        # output params + both AdamW moments live across the step (~3.6 GB
+        # transient for ViT-B fp32, 3x for ViT-L) — a params+moments-sized
+        # chunk of exactly the HBM the remat above exists to save (review
+        # finding, round 5).  Every caller reassigns
+        # `state = train_step(state, ...)`, so the donated buffers are
+        # never read again.
+        donate_argnums=(0,))
     return init_state, jitted_step

@@ -41,12 +41,33 @@ def save_as_dataframe(log_directory: str, name: str,
     return path
 
 
+def atomic_write(path: str, writer) -> None:
+    """Write a cache artifact atomically (tmp + ``os.replace``).
+
+    Every artifact ``--resume`` consumes is trusted as-is once its
+    fingerprint matches, so a crash mid-write (multi-second windows for
+    the ~100 MB feature npz on this 1-core host) must not leave a
+    truncated file that poisons every subsequent resume with a BadZipFile
+    crash — the exact interrupted-run scenario resume exists for.  Same
+    tmp+replace scheme ``train/checkpoint.py`` uses (review finding,
+    round 5).  ``writer`` receives the open binary file object (np.save /
+    np.savez append an extension when given a PATH, which would break the
+    tmp rename — hence the file handle)."""
+    tmp = f"{path}.tmp"
+    try:
+        with open(tmp, "wb") as f:
+            writer(f)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
 def save_scores(log_directory: str, dataset_name: str,
                 scores: np.ndarray) -> str:
     os.makedirs(log_directory, exist_ok=True)
     path = os.path.join(log_directory, f"{dataset_name}_scores.npy")
-    with open(path, "wb") as f:
-        np.save(f, np.asarray(scores))
+    atomic_write(path, lambda f: np.save(f, np.asarray(scores)))
     return path
 
 

@@ -298,3 +298,70 @@ def test_batch_size_must_divide_data_mesh():
     cfg = RunConfig(batch_size=6, n_devices=4, allow_random_weights=True)
     with pytest.raises(ValueError, match="not divisible"):
         build_model_and_step(cfg)
+
+
+def test_maha_templates_refuse_swapped_weights(workdir, tmp_path):
+    """Maha templates live OUTSIDE the fingerprint-purged log_directory,
+    so a checkpoint swapped under an unchanged config must make the
+    cached-template LOAD refuse loudly — silently scoring new-weight
+    features against old-weight mu/prec is the stale-mix class the meta
+    fingerprint kills for every other cache (review finding, round 5)."""
+    tmp, root = workdir
+    from mcm_tpu.config import CLIP_CONFIGS
+    from mcm_tpu.models.convert import save_params
+    from mcm_tpu.models.init import init_clip
+
+    ckpt_dir = tmp_path / "maha_ckpts"
+    ckpt_dir.mkdir()
+    cfg = CLIP_CONFIGS["ViT-B/16"]()  # tiny double (fixture)
+    ckpt = str(ckpt_dir / "ViT-B-16.npz")
+    save_params(init_clip(0, cfg), ckpt)
+
+    # cold maha run estimates + caches weight-fingerprinted templates
+    _run(tmp, root, name="mswap", score="maha", ckpt_dir=str(ckpt_dir))
+    # same config, swapped checkpoint: the template load must refuse
+    save_params(init_clip(1, cfg), ckpt)
+    with pytest.raises(ValueError, match="DIFFERENT weights"):
+        _run(tmp, root, name="mswap", score="maha", generate=False,
+             ckpt_dir=str(ckpt_dir))
+
+
+def test_atomic_write_crash_leaves_old_artifact(tmp_path):
+    """A crash mid-write must leave the previous artifact intact and no
+    .tmp litter — --resume trusts whatever is on disk, so a truncated
+    npz would poison every subsequent resume (review finding, round 5)."""
+    from mcm_tpu.utils.results import atomic_write
+
+    path = str(tmp_path / "a.npz")
+    atomic_write(path, lambda f: np.savez(f, x=np.arange(3)))
+    with np.load(path) as d:
+        np.testing.assert_array_equal(d["x"], np.arange(3))
+
+    def boom(f):
+        f.write(b"partial")
+        raise RuntimeError("crash mid-write")
+
+    with pytest.raises(RuntimeError, match="mid-write"):
+        atomic_write(path, boom)
+    # old content intact, no tmp file left behind
+    with np.load(path) as d:
+        np.testing.assert_array_equal(d["x"], np.arange(3))
+    assert os.listdir(tmp_path) == ["a.npz"]
+
+
+def test_fully_cached_resume_uploads_no_params(workdir, monkeypatch):
+    """A fully-cached --resume must never upload the parameter pytree:
+    hundreds of MB of H2D through the tunnel feeding programs that never
+    execute (device-free-resume contract; review finding, round 5)."""
+    tmp, root = workdir
+    _run(tmp, root, name="noput")   # populate every cache
+
+    from mcm_tpu.parallel import eval_step
+
+    def forbid(self, params):
+        raise AssertionError("put_params called on a fully-cached resume")
+
+    monkeypatch.setattr(eval_step.EvalStep, "put_params", forbid)
+    in1, out1, warns, _ = _run(tmp, root, name="noput", resume=True)
+    assert not any("different configuration" in w for w in warns)
+    assert np.isfinite(in1).all() and np.isfinite(out1).all()
