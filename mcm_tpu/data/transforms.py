@@ -77,6 +77,17 @@ def preprocess_uint8(img: Image.Image, size: int = 224) -> np.ndarray:
     return np.asarray(img, dtype=np.uint8)
 
 
+def norm_coeffs(mean: Tuple[float, ...],
+                std: Tuple[float, ...]) -> Tuple[np.ndarray, np.ndarray]:
+    """(scale, shift) fp32 coefficients of the reassociated
+    ToTensor (÷255) + Normalize: ``x * (1/(255·std)) − mean/std``.
+    Single source for every normalization site (host, device,
+    device-resize) so the fold can never diverge between pipelines."""
+    scale = np.asarray([1.0 / (255.0 * s) for s in std], dtype=np.float32)
+    shift = np.asarray([m / s for m, s in zip(mean, std)], dtype=np.float32)
+    return scale, shift
+
+
 def normalize_on_device(batch_uint8: jax.Array,
                         mean: Tuple[float, ...] = CLIP_MEAN,
                         std: Tuple[float, ...] = CLIP_STD,
@@ -84,12 +95,11 @@ def normalize_on_device(batch_uint8: jax.Array,
     """uint8 [B, H, W, 3] → normalized float [B, H, W, 3] on device.
 
     Equals ToTensor (÷255) + Normalize (reference ``:32-33``), reassociated
-    to a single multiply-add so XLA emits one fused VPU pass:
-    ``x * (1/(255·std)) − mean/std``.
+    to a single multiply-add so XLA emits one fused VPU pass.
     """
-    scale = jnp.asarray([1.0 / (255.0 * s) for s in std], dtype=jnp.float32)
-    shift = jnp.asarray([m / s for m, s in zip(mean, std)], dtype=jnp.float32)
-    x = batch_uint8.astype(jnp.float32) * scale - shift
+    scale, shift = norm_coeffs(mean, std)
+    x = batch_uint8.astype(jnp.float32) * jnp.asarray(scale) \
+        - jnp.asarray(shift)
     return x.astype(dtype)
 
 
@@ -97,6 +107,5 @@ def normalize_host(batch_uint8: np.ndarray,
                    mean: Tuple[float, ...] = CLIP_MEAN,
                    std: Tuple[float, ...] = CLIP_STD) -> np.ndarray:
     """Host-side fp32 variant (tests / parity checks)."""
-    scale = np.asarray([1.0 / (255.0 * s) for s in std], dtype=np.float32)
-    shift = np.asarray([m / s for m, s in zip(mean, std)], dtype=np.float32)
+    scale, shift = norm_coeffs(mean, std)
     return batch_uint8.astype(np.float32) * scale - shift

@@ -21,6 +21,8 @@ from mcm_tpu.config import CLIPConfig, SupervisedViTConfig, TextConfig, VisionCo
 
 
 def _seed_of(key) -> np.random.SeedSequence:
+    if isinstance(key, np.random.SeedSequence):
+        return key
     if isinstance(key, (int, np.integer)):
         return np.random.SeedSequence(int(key))
     return np.random.SeedSequence(
@@ -72,7 +74,10 @@ def _stacked_layers(rng: np.random.Generator, layers: int, width: int,
 
 
 def init_vision(key, cfg: VisionConfig) -> dict:
-    rng = np.random.default_rng(key)
+    # _rng_for, not default_rng(key): int/SeedSequence seeds produce the
+    # identical stream, and jax PRNG keys (which default_rng rejects)
+    # work as the module docstring promises.
+    rng = _rng_for(key)
     patch_dim = cfg.patch_size * cfg.patch_size * 3
     return {
         "patch_embed": rng.standard_normal(
@@ -91,7 +96,7 @@ def init_vision(key, cfg: VisionConfig) -> dict:
 
 
 def init_text(key, cfg: TextConfig) -> dict:
-    rng = np.random.default_rng(key)
+    rng = _rng_for(key)
     return {
         "token_emb": rng.standard_normal(
             (cfg.vocab_size, cfg.width), dtype=np.float32) * 0.02,

@@ -106,16 +106,37 @@ def _pallas_mcm(image_feats: jax.Array, text_feats: jax.Array,
     return out[:, 0]
 
 
+# Conservative per-program VMEM budget for the auto gate (the v5e scoped
+# limit is ~16 MiB; headroom left for Mosaic's own scratch).
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+_DEFAULT_BLOCK_B = 256
+
+
+def _pallas_fits(b: int, d: int, c: int, block_b: int) -> bool:
+    """The kernel keeps the whole padded [C_pad, D] text matrix, one
+    [block_b, D] image block, and the [block_b, C_pad] logits resident in
+    VMEM; past ~a few thousand classes that exceeds the scoped budget and
+    the Mosaic compile dies, where the XLA path would have worked."""
+    c_pad = _round_up(c, 128)
+    blk = min(block_b, b)
+    fp32 = 4
+    footprint = (c_pad * d + blk * d + blk * c_pad + blk) * fp32
+    return footprint <= _VMEM_BUDGET_BYTES
+
+
 def fused_mcm_scores(image_feats: jax.Array, text_feats: jax.Array,
                      score: str = "MCM", T: float = 1.0,
                      impl: Optional[str] = None) -> jax.Array:
     """[B, D] raw image features × [C, D] normalized text → [B] scores.
 
-    ``impl``: "pallas" | "xla" | None (auto)."""
+    ``impl``: "pallas" | "xla" | None (auto — the kernel on TPU when its
+    VMEM-resident footprint fits, the identical-math XLA path otherwise)."""
     assert score in CLIP_SCORES, score
     if impl is None:
         from mcm_tpu.ops import on_tpu
-        impl = "pallas" if on_tpu() else "xla"
+        impl = ("pallas" if on_tpu() and _pallas_fits(
+            image_feats.shape[0], image_feats.shape[1], text_feats.shape[0],
+            _DEFAULT_BLOCK_B) else "xla")
     if impl == "pallas":
         return _pallas_mcm(image_feats, text_feats, score, float(T))
     return compute_scores(image_feats, text_feats, score=score, T=float(T))

@@ -26,7 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mcm_tpu.data.transforms import CLIP_MEAN, CLIP_STD
+from mcm_tpu.data.transforms import CLIP_MEAN, CLIP_STD, norm_coeffs
 
 
 @functools.lru_cache(maxsize=64)
@@ -79,9 +79,8 @@ def resize_normalize(batch_u8: jax.Array, out_size: int = 224,
     x = jnp.einsum("ow,bhwc->bhoc", Aw, x,
                    preferred_element_type=jnp.float32,
                    precision="highest")
-    scale = jnp.asarray([1.0 / (255.0 * s) for s in std], jnp.float32)
-    shift = jnp.asarray([m / s for m, s in zip(mean, std)], jnp.float32)
-    return (x * scale - shift).astype(dtype)
+    scale, shift = norm_coeffs(mean, std)
+    return (x * jnp.asarray(scale) - jnp.asarray(shift)).astype(dtype)
 
 
 def center_square_crop_u8(img: np.ndarray) -> np.ndarray:

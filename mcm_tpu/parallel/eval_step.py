@@ -36,8 +36,12 @@ def _odin_safe(precision: Precision) -> Precision:
     normalized-pixel space) is AT the bf16 ULP for |x|≥1, so fast-mode
     activations quantize it away; and its jax.grad cannot differentiate
     the opt-in Pallas kernels.  fp32 + XLA matches the fp32 reference
-    (``detection_util.py:122-146``)."""
+    (``detection_util.py:122-146``).  ``softmax_dtype`` is pinned fp32
+    too: jax.grad backprops through the [B, H, S, S] probs tensor, and
+    bf16 rounding there flips gradient signs near zero — the one place
+    sign(grad) is the entire signal."""
     return dataclasses.replace(precision, activation_dtype=jnp.float32,
+                               softmax_dtype=jnp.float32,
                                attn_impl="xla", mlp_impl="xla")
 
 
@@ -79,6 +83,12 @@ class EvalStep(_Placement):
         self.noise_magnitude = float(noise_magnitude)
         self.mesh = mesh if mesh is not None else meshlib.make_mesh(1)
         meshlib.validate_tp(cfg, self.mesh)
+        # ODIN's precision override runs BEFORE the TP kernel check below:
+        # it forces attn/mlp to XLA anyway, so a forced-Pallas config with
+        # score="odin" must behave identically on TP and DP meshes
+        # (silently overridden, not spuriously rejected).
+        if score == "odin":
+            precision = _odin_safe(precision)
         # Pallas kernels are opaque to the SPMD partitioner.  Pure-DP meshes
         # run the per-device program under shard_map (kernels apply on each
         # device's batch shard — no cross-device communication in eval).
@@ -100,8 +110,6 @@ class EvalStep(_Placement):
                     f"opaque to the SPMD partitioner, which would all-gather "
                     f"the TP-sharded layer weights around it. Use "
                     f"attn_impl/mlp_impl 'auto' or 'xla', or a pure-DP mesh.")
-        if score == "odin":
-            precision = _odin_safe(precision)
         self.precision = precision
 
         batch_sh = meshlib.batch_sharding(self.mesh)

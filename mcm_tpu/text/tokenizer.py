@@ -192,7 +192,9 @@ class CLIPTokenizer:
         word = tuple(token[:-1]) + (token[-1] + "</w>",)
         pairs = _get_pairs(word)
         if not pairs:
-            return [token + "</w>"]
+            out = [token + "</w>"]
+            self._bpe_cache[token] = out
+            return out
 
         while True:
             bigram = min(pairs,

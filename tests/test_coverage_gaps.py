@@ -151,3 +151,21 @@ def test_orbax_roundtrip_sharded(tmp_path):
     assert tree_in == tree_out
     for a, b in zip(flat_in, flat_out):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_init_towers_accept_jax_keys_and_keep_int_streams():
+    """init_vision/init_text honor the module contract ("jax PRNG keys
+    are still accepted") directly — previously only init_clip shielded
+    them via _seed_of — and the int-seed stream is byte-identical to the
+    old default_rng(int) route (default_rng(n) == default_rng(SeedSequence(n)))."""
+    from mcm_tpu.models.init import init_text, init_vision
+
+    v = init_vision(jax.random.key(0), TINY.vision)
+    t = init_text(jax.random.key(0), TINY.text)
+    assert v["patch_embed"].shape == (8 * 8 * 3, 64)
+    assert t["token_emb"].shape == (128, 48)
+
+    v5 = init_vision(5, TINY.vision)
+    want = np.random.default_rng(5).standard_normal(
+        (8 * 8 * 3, 64), dtype=np.float32) * 64 ** -0.5
+    np.testing.assert_array_equal(v5["patch_embed"], want)

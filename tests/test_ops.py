@@ -256,6 +256,33 @@ def test_pallas_mcm_temperature(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4)
 
 
+def test_fused_mcm_auto_gate_respects_vmem_budget(rng, monkeypatch):
+    """The auto impl picks the kernel only when its VMEM-resident footprint
+    fits: the kernel keeps the whole padded [C_pad, D] text matrix and the
+    [blk, C_pad] logits in VMEM, so a huge class count must fall back to
+    the identical-math XLA path instead of dying in the Mosaic compiler."""
+    import mcm_tpu.ops as ops_pkg
+    from mcm_tpu.ops import mcm_score as ms
+
+    # production ImageNet shape fits; ~8k classes at D=512 does not
+    assert ms._pallas_fits(512, 512, 1000, 256)
+    assert not ms._pallas_fits(512, 512, 8000, 256)
+
+    monkeypatch.setattr(ops_pkg, "on_tpu", lambda: True)
+    routed = []
+    monkeypatch.setattr(ms, "_pallas_mcm",
+                        lambda *a, **k: routed.append("pallas"))
+    img = jnp.asarray(rng.standard_normal((8, 512)), jnp.float32)
+    txt_big = l2_normalize(
+        jnp.asarray(rng.standard_normal((8000, 512)), jnp.float32))
+    out = ms.fused_mcm_scores(img, txt_big, "MCM", 1.0)       # auto → xla
+    assert routed == []
+    want = compute_scores(img, txt_big, score="MCM", T=1.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-5)
+    ms.fused_mcm_scores(img, txt_big[:100], "MCM", 1.0)       # auto → pallas
+    assert routed == ["pallas"]
+
+
 # -- device resize ------------------------------------------------------------
 
 def test_resize_matrix_rows_sum_to_one():

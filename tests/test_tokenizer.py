@@ -133,3 +133,15 @@ def test_fuzz_random_strings_match_hf(ours, theirs):
         ref = theirs(text)["input_ids"]
         got = [ours.bos_id] + ours.encode(text) + [ours.eos_id]
         assert got == ref, f"case {i}: {text!r}: {got} != {ref}"
+
+
+def test_bpe_caches_single_char_tokens(ours):
+    """The no-pairs early return must store its result too: one-letter
+    words ("a" in every prompt template, digits, punctuation) are the
+    most frequent tokens in a prompt corpus — exactly the entries the
+    cache exists for."""
+    ours._bpe_cache.clear()
+    ours.encode("a")
+    assert ours._bpe_cache.get("a") == ["a</w>"]
+    # and the cached value is what a second call returns
+    assert ours._bpe("a") == ["a</w>"]

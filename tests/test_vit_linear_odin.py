@@ -140,10 +140,43 @@ def test_odin_forces_fp32_xla_program():
     assert step.precision.activation_dtype == jnp.float32
     assert step.precision.attn_impl == "xla"
     assert step.precision.mlp_impl == "xla"
+    # jax.grad backprops through the [B,H,S,S] probs tensor — bf16
+    # rounding there flips gradient signs near zero, and sign(grad) IS
+    # the ODIN signal, so fast mode's bf16 softmax must be overridden too
+    assert step.precision.softmax_dtype == jnp.float32
     vstep = VitLinearStep(_tiny_vit_cfg(), score="odin",
                           precision=fast_pallas, mesh=make_mesh(1))
     assert vstep.precision.activation_dtype == jnp.float32
     assert vstep.precision.mlp_impl == "xla"
+    assert vstep.precision.softmax_dtype == jnp.float32
+
+
+def test_odin_overrides_forced_pallas_on_tp_mesh():
+    """The ODIN precision override runs BEFORE the TP forced-kernel
+    rejection: score="odin" with a forced Pallas impl is silently
+    overridden to XLA on a TP mesh exactly as it is on a DP mesh —
+    previously the same config raised on TP while running fine on DP."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from mcm_tpu.config import CLIPConfig, Precision, TextConfig, VisionConfig
+    from mcm_tpu.parallel import EvalStep, make_mesh
+
+    tiny = CLIPConfig(
+        name="tiny",
+        vision=VisionConfig(image_size=32, patch_size=8, width=64, layers=2,
+                            heads=4, projection_dim=32),
+        text=TextConfig(vocab_size=128, context_length=16, width=64,
+                        layers=2, heads=4, projection_dim=32))
+    fast_pallas = dataclasses.replace(Precision.fast(),
+                                      attn_impl="pallas_bsd",
+                                      mlp_impl="pallas")
+    step = EvalStep(tiny, score="odin", precision=fast_pallas,
+                    mesh=make_mesh(4, model_parallel=2))
+    assert step.precision.attn_impl == "xla"
+    assert step.precision.mlp_impl == "xla"
+    assert step.precision.softmax_dtype == jnp.float32
 
 
 def test_vit_linear_odin_scales_grad_sign_by_clip_std(rng, monkeypatch):
