@@ -115,8 +115,22 @@ def python_cpu_snapshot() -> dict:
         except OSError:
             continue
         if "python" in comm:
-            snap[int(pid)] = int(parts[11]) + int(parts[12])  # utime+stime
+            ipid = int(pid)
+            snap[ipid] = int(parts[11]) + int(parts[12])  # utime+stime
+            # cmdline captured AT SNAPSHOT TIME so a pid that exits
+            # mid-window can still be infra-filtered and labeled
+            # (its /proc entry is gone by the time we ask)
+            try:
+                with open(f"/proc/{pid}/cmdline") as f:
+                    _CMDLINES[ipid] = f.read().replace("\0", " ").strip()
+            except OSError:
+                pass
     return snap
+
+
+#: pid → cmdline as of the last snapshot that saw it (labels/infra checks
+#: for contenders that exit before we can read /proc again)
+_CMDLINES: dict = {}
 
 
 #: Infrastructure processes whose CPU is a function of OUR OWN traffic:
@@ -136,7 +150,9 @@ def _is_infra(pid: int) -> bool:
         with open(f"/proc/{pid}/cmdline") as f:
             cmd = f.read()
     except OSError:
-        return False
+        # process gone — fall back to the cmdline captured at snapshot
+        # time so an exited infra process isn't miscounted as a contender
+        cmd = _CMDLINES.get(pid, "")
     return any(m in cmd for m in INFRA_CMDLINE_MARKERS)
 
 
@@ -149,9 +165,16 @@ def busy_pids(before: dict, after: dict, min_ticks: int = 25) -> list:
     the machinery exists to catch), so its absolute utime+stime IS its
     burn during the measurement — baseline 0, counted (review finding,
     round 5: iterating ``before`` alone made mid-window launches
-    invisible)."""
-    return [pid for pid, t1 in after.items()
-            if t1 - before.get(pid, 0) > min_ticks and not _is_infra(pid)]
+    invisible).  A pid present only in ``before`` EXITED inside the
+    window: its burn during the window is unknowable (/proc is gone), so
+    it is counted conservatively — a false positive costs one cheap
+    retry, while ignoring it would let a contender that burned the whole
+    window and exited just before the snapshot ship a depressed number
+    labeled contention-free (review finding, round 5)."""
+    active = [pid for pid, t1 in after.items()
+              if t1 - before.get(pid, 0) > min_ticks]
+    vanished = [pid for pid in before if pid not in after]
+    return [pid for pid in active + vanished if not _is_infra(pid)]
 
 
 def contending_processes(before: dict, after: dict,
@@ -181,14 +204,17 @@ def wait_for_quiet(max_wait_s: float = 45.0, probe_s: float = 3.0):
 
 
 def contender_identities(pids) -> list:
-    """pid:cmdline labels so a contaminated artifact names the contender."""
+    """pid:cmdline labels so a contaminated artifact names the contender.
+    Falls back to the snapshot-time cmdline cache (suffixed "(exited)")
+    for contenders that exited inside the window."""
     out = []
     for pid in pids:
         try:
             with open(f"/proc/{pid}/cmdline") as f:
                 cmd = f.read().replace("\0", " ").strip()
         except OSError:
-            cmd = ""
+            cached = _CMDLINES.get(pid, "")
+            cmd = f"{cached} (exited)" if cached else "(exited)"
         out.append(f"{pid}:{cmd[:120]}" if cmd else str(pid))
     return out
 

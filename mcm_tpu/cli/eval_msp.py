@@ -44,8 +44,8 @@ def process_args():
 def main():
     args = process_args()
     from mcm_tpu.data import (default_out_datasets, set_ood_loader,
-                              set_val_loader)
-    from mcm_tpu.metrics import get_measures, print_measures
+                              set_val_loader, validate_out_datasets)
+    from mcm_tpu.metrics import get_and_print_results, print_measures
     from mcm_tpu.runner import RunConfig, build_model_and_step, score_dataset
     from mcm_tpu.utils import Telemetry, setup_log, setup_seed
     from mcm_tpu.utils.results import save_as_dataframe
@@ -70,21 +70,23 @@ def main():
     params, _, step = build_model_and_step(cfg)
     telemetry = Telemetry()
 
+    out_datasets = args.out_datasets or default_out_datasets(args.in_dataset)
+    validate_out_datasets(out_datasets)  # fail typos before scoring
+
     val_ds = set_val_loader(args.in_dataset, args.root_dir)
     in_score = score_dataset(step, params, val_ds, None, cfg, telemetry)
 
-    out_datasets = args.out_datasets or default_out_datasets(args.in_dataset)
     auroc_list, aupr_list, fpr_list = [], [], []
     for out_dataset in out_datasets:
         log.debug(f"Evaluting OOD dataset {out_dataset}")
         out_score = score_dataset(step, params,
                                   set_ood_loader(out_dataset, args.root_dir),
                                   None, cfg, telemetry)
-        auroc, aupr, fpr = get_measures(-in_score, -out_score)
-        print_measures(log, auroc, aupr, fpr, f"MSP-{args.score}")
-        auroc_list.append(auroc)
-        aupr_list.append(aupr)
-        fpr_list.append(fpr)
+        # the shared helper owns the lower-is-ID double negation
+        # (CLAUDE.md invariant — one call site, same as eval_ood)
+        get_and_print_results(args, log, in_score, out_score, auroc_list,
+                              aupr_list, fpr_list,
+                              method_name=f"MSP-{args.score}")
     print_measures(log, float(np.mean(auroc_list)), float(np.mean(aupr_list)),
                    float(np.mean(fpr_list)), "MSP-mean")
     save_as_dataframe(log_directory, args.name, out_datasets, fpr_list,

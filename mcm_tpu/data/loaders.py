@@ -66,6 +66,27 @@ def set_train_loader(in_dataset: str, root_dir: str, subset: bool = False,
     raise ValueError(f"unknown in_dataset: {in_dataset}")
 
 
+#: every name ``set_ood_loader`` accepts — the single source for both the
+#: loader and up-front validation (a typo'd name must fail in
+#: milliseconds, not after the hours-long ID pass reaches it)
+OOD_DATASETS = ("iNaturalist", "SUN", "places365", "placesbg", "dtd",
+                "ImageNet10", "ImageNet20")
+
+
+def validate_out_datasets(names) -> None:
+    """Raise for unknown OOD dataset names BEFORE any scoring starts.
+
+    Name validation only, deliberately no directory check: a fully-cached
+    ``--resume`` never opens the OOD trees (score caches travel between
+    hosts, datasets don't), and an existence check here would break that
+    device-free path on hosts without the data."""
+    unknown = [n for n in names if n not in OOD_DATASETS]
+    if unknown:
+        raise ValueError(
+            f"unknown out_dataset(s): {', '.join(unknown)} "
+            f"(choose from: {', '.join(OOD_DATASETS)})")
+
+
 def set_ood_loader(out_dataset: str, root_dir: str,
                    ood_root: Optional[str] = None):
     """OOD dataset (reference ``train_eval_util.py:123-146``).
@@ -84,6 +105,7 @@ def set_ood_loader(out_dataset: str, root_dir: str,
         "ImageNet10": os.path.join(root_dir, "ImageNet10", "train"),
         "ImageNet20": os.path.join(root_dir, "ImageNet20", "val"),
     }
+    assert set(paths) == set(OOD_DATASETS)
     if out_dataset not in paths:
         raise ValueError(f"unknown out_dataset: {out_dataset}")
     return ImageFolder(paths[out_dataset])

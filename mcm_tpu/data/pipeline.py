@@ -74,11 +74,22 @@ class DataPipeline:
         # every global batch (parallel/multihost.py scheme); every process
         # still iterates the same number of (lockstep) batches.  ``valid``
         # stays the GLOBAL count — stripe-local padding is resolved by
-        # ``assemble_global_outputs`` after readback.  Only consult jax if
-        # a backend is already live: constructing a host-side decode
-        # pipeline must not initialize (and contend for) the accelerator.
-        if stripe is None:
-            stripe = (0, batch_size)
+        # ``assemble_global_outputs`` after readback.  Auto-detection is
+        # LAZY (first batch decode): constructing a host-side decode
+        # pipeline must not initialize (and contend for) the accelerator,
+        # but deciding the stripe before jax is initialized would silently
+        # fall back to the full-batch stripe on every host of a
+        # multi-process program — P× duplicated decode and a wrong-shape
+        # global batch (review finding, round 5).  By the first decode the
+        # model build has initialized the backend in every real flow, so
+        # the auto-detect sees the true process_count; fully-cached
+        # resumes never decode, keeping them device-free.
+        self._stripe = stripe
+
+    @property
+    def stripe(self) -> tuple:
+        if self._stripe is None:
+            s = (0, self.batch_size)
             import sys
             jax = sys.modules.get("jax")
             if jax is not None:
@@ -89,9 +100,14 @@ class DataPipeline:
                     initialized = True  # can't tell; process_count decides
                 if initialized and jax.process_count() > 1:
                     from mcm_tpu.parallel.multihost import batch_stripe
-                    stripe = batch_stripe(batch_size)
-        self.stripe = stripe
-        self.local_batch_size = stripe[1] - stripe[0]
+                    s = batch_stripe(self.batch_size)
+            self._stripe = s
+        return self._stripe
+
+    @property
+    def local_batch_size(self) -> int:
+        s = self.stripe
+        return s[1] - s[0]
 
     def __len__(self) -> int:
         n = len(self.dataset)

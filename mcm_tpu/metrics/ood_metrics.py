@@ -160,9 +160,13 @@ def print_measures(log, auroc: float, aupr: float, fpr: float,
 
 
 def get_and_print_results(args, log, in_score, out_score, auroc_list: list,
-                          aupr_list: list, fpr_list: list) -> None:
+                          aupr_list: list, fpr_list: list,
+                          method_name: str = None) -> None:
     """Measure one OOD set and append to the running lists
-    (reference ``detection_util.py:253-265`` incl. the double negation)."""
+    (reference ``detection_util.py:253-265`` incl. the double negation).
+    The lower-is-ID → double-negation convention lives HERE and nowhere
+    else (CLAUDE.md design invariant); every CLI goes through this
+    helper.  ``method_name`` defaults to ``args.score``."""
     auroc, aupr, fpr = get_measures(-np.asarray(in_score),
                                     -np.asarray(out_score))
     print(f"in score samples (random sampled): {in_score[:3]}, "
@@ -170,4 +174,4 @@ def get_and_print_results(args, log, in_score, out_score, auroc_list: list,
     auroc_list.append(auroc)
     aupr_list.append(aupr)
     fpr_list.append(fpr)
-    print_measures(log, auroc, aupr, fpr, args.score)
+    print_measures(log, auroc, aupr, fpr, method_name or args.score)

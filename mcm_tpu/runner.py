@@ -29,7 +29,7 @@ import numpy as np
 from mcm_tpu.config import CLIP_CONFIGS, resolve_precision
 from mcm_tpu.data import (DataPipeline, default_out_datasets,
                           get_test_labels, set_ood_loader, set_train_loader,
-                          set_val_loader)
+                          set_val_loader, validate_out_datasets)
 from mcm_tpu.parallel.multihost import assemble_global_outputs, read_local
 from mcm_tpu.metrics import get_and_print_results, print_measures
 from mcm_tpu.models.convert import resolve_clip_params
@@ -680,6 +680,9 @@ def run_eval(cfg: RunConfig) -> Dict[str, Dict[str, float]]:
 
     cfg = _check_cache_meta(cfg, log)
     out_datasets = cfg.out_datasets or default_out_datasets(cfg.in_dataset)
+    # fail a typo'd --out_datasets in milliseconds, not after the entire
+    # ID pass reaches set_ood_loader (review finding, round 5)
+    validate_out_datasets(out_datasets)
 
     val_ds = set_val_loader(cfg.in_dataset, cfg.root_dir)
     test_labels = get_test_labels(cfg.in_dataset, val_ds)

@@ -52,8 +52,12 @@ def atomic_write(path: str, writer) -> None:
     tmp+replace scheme ``train/checkpoint.py`` uses (review finding,
     round 5).  ``writer`` receives the open binary file object (np.save /
     np.savez append an extension when given a PATH, which would break the
-    tmp rename — hence the file handle)."""
-    tmp = f"{path}.tmp"
+    tmp rename — hence the file handle).  The tmp name is pid-suffixed
+    (same as ``train/checkpoint.py``): multihost runs and same-name runs
+    sharing a log_directory write these artifacts concurrently, and a
+    FIXED tmp name would let writer B truncate A's in-flight tmp and A
+    then publish B's partial bytes."""
+    tmp = f"{path}.tmp.{os.getpid()}"
     try:
         with open(tmp, "wb") as f:
             writer(f)

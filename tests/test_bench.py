@@ -95,8 +95,28 @@ def test_busy_pids_counts_mid_window_start():
     assert bench.busy_pids(before, after) == [99999902]
     # a freshly-started pid under the threshold stays uncounted
     assert bench.busy_pids(before, {99999901: 100, 99999903: 5}) == []
-    # and one that exited mid-window (in before, gone from after) too
-    assert bench.busy_pids({99999904: 900}, {}) == []
+
+
+def test_busy_pids_counts_mid_window_exit():
+    """A contender that EXITS inside the window (in `before`, gone from
+    `after`) is counted conservatively — its burn is unknowable once
+    /proc is gone, and a false positive costs one retry while a false
+    negative ships a depressed number labeled contention-free (review
+    finding, round 5).  Infra processes stay excluded via the
+    snapshot-time cmdline cache, and labels fall back to it."""
+    import bench
+    assert bench.busy_pids({99999904: 900}, {}) == [99999904]
+    # snapshot-time cmdline cache: an exited infra pid is NOT a contender
+    bench._CMDLINES[99999905] = "python3 -u /root/.tpu_init.py"
+    try:
+        assert bench.busy_pids({99999905: 900}, {}) == []
+        # and labels for exited non-infra contenders come from the cache
+        bench._CMDLINES[99999904] = "python3 stray_bench.py"
+        assert bench.contender_identities([99999904]) == \
+            ["99999904:python3 stray_bench.py (exited)"]
+    finally:
+        bench._CMDLINES.pop(99999904, None)
+        bench._CMDLINES.pop(99999905, None)
 
 
 def _no_wait(monkeypatch, bench, waited=0.0):

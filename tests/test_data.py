@@ -340,3 +340,34 @@ def test_tar_member_traversal_refused(tmp_path):
     with _tarfile.open(fileobj=buf) as tar:
         with pytest.raises(RuntimeError, match="link"):
             _check_tar_members(tar, str(tmp_path))
+
+
+def test_pipeline_stripe_resolved_lazily(tmp_path, monkeypatch):
+    """Stripe auto-detection happens at FIRST USE, not at construction:
+    a pipeline built before jax is (fully) initialized in a multi-process
+    program must still decode only its stripe — binding (0, batch_size)
+    at construction silently decoded the full batch on every host
+    (review finding, round 5)."""
+    import jax
+
+    root = make_imagefolder_tree(str(tmp_path), ["a", "b"], 4)  # 8 images
+    pipe = DataPipeline(ImageFolder(root), batch_size=8, image_size=16,
+                        num_workers=1)
+    assert pipe._stripe is None  # nothing resolved at construction
+    # the world changes to 2 processes before the first decode
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    assert pipe.stripe == (4, 8)
+    assert pipe.local_batch_size == 4
+    batch = next(iter(pipe))
+    assert batch.images.shape[0] == 4   # decodes only its stripe
+    assert batch.valid == 8             # global accounting unchanged
+
+
+def test_validate_out_datasets_rejects_typos():
+    """--out_datasets typos fail in milliseconds, before the ID pass."""
+    from mcm_tpu.data import validate_out_datasets
+
+    validate_out_datasets(["dtd", "SUN", "iNaturalist"])
+    with pytest.raises(ValueError, match="Sun"):
+        validate_out_datasets(["iNaturalist", "Sun", "dtd"])

@@ -365,3 +365,28 @@ def test_fully_cached_resume_uploads_no_params(workdir, monkeypatch):
     in1, out1, warns, _ = _run(tmp, root, name="noput", resume=True)
     assert not any("different configuration" in w for w in warns)
     assert np.isfinite(in1).all() and np.isfinite(out1).all()
+
+
+def test_atomic_write_tmp_is_pid_unique(tmp_path, monkeypatch):
+    """Concurrent writers of the same artifact (multihost runs, same-name
+    runs sharing a log_directory) must not share a tmp name: a fixed
+    path + '.tmp' let writer B truncate A's in-flight tmp and A publish
+    B's partial bytes (review finding, round 5)."""
+    import os
+
+    from mcm_tpu.utils.results import atomic_write
+
+    seen = {}
+    real_open = open
+
+    def spy_open(path, *a, **k):
+        p = str(path)
+        if ".tmp" in p:
+            seen["tmp"] = p
+        return real_open(path, *a, **k)
+
+    monkeypatch.setattr("builtins.open", spy_open)
+    path = str(tmp_path / "scores.npy")
+    atomic_write(path, lambda f: np.save(f, np.arange(3)))
+    assert seen["tmp"].endswith(f".tmp.{os.getpid()}")
+    np.testing.assert_array_equal(np.load(path), np.arange(3))
