@@ -30,6 +30,13 @@ def run_module_isolated(suite_file: str, timeout: int = 1200,
             return
         if proc.returncode not in SIGABRT_CODES:
             break  # real failure: report it, don't retry
+        # Same gate as scripts/run_tests.sh: only the KNOWN jaxlib crash
+        # (its banner in the output) is retried — a repo-caused abort()
+        # also exits -6/134, and retrying that into a green would ship
+        # the bug (review finding, round 5).
+        if "Fatal Python error: Aborted" not in (
+                (proc.stdout or "") + (proc.stderr or "")):
+            break
     raise AssertionError(
         f"{suite_file} failed (rc={proc.returncode}):\n"
         f"{proc.stdout[-3000:]}\n{proc.stderr[-2000:]}")

@@ -81,7 +81,16 @@ def test_maybe_profile_writes_trace(tmp_path):
         with maybe_profile(trace_dir):
             jnp.asarray(jax.jit(lambda x: x * 2)(jnp.ones(8))).sum()
     if any("profiler unavailable" in str(w.message) for w in caught):
-        return  # unsupported backend: the no-fail contract held
+        # the no-fail contract held — but accept it ONLY when the
+        # profiler genuinely can't start here: a regression inside
+        # maybe_profile (e.g. a typo'd import caught by its own
+        # best-effort except) would otherwise warn its way past the
+        # trace assertion forever (review finding, round 5)
+        import pytest
+        with pytest.raises(Exception):
+            with jax.profiler.trace(str(tmp_path / "direct")):
+                pass
+        return  # unsupported backend, confirmed independently
     found = [os.path.join(dp, f) for dp, _, fs in os.walk(trace_dir)
              for f in fs]
     assert found, "profiler reported success but wrote no trace files"

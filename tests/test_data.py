@@ -116,10 +116,13 @@ def test_pipeline_order_and_padding(tmp_path):
 
 
 def test_pipeline_decode_error_propagates(tmp_path):
+    # pinned to the decode failure itself (OSError naming the file), not a
+    # bare Exception any construction error would satisfy (review finding,
+    # round 5: the producer thread must re-raise, not swallow)
     root = make_imagefolder_tree(str(tmp_path), ["a"], 2)
     ds = ImageFolder(root)
     ds.samples[1] = (str(tmp_path / "missing.jpg"), 0)
-    with pytest.raises(Exception):
+    with pytest.raises(OSError, match="missing"):
         list(DataPipeline(ds, batch_size=2, image_size=16, num_workers=2))
 
 

@@ -90,7 +90,9 @@ def test_template_ensembling_changes_text_feats(rng):
 
 
 def test_convert_tool_roundtrip(tmp_path):
-    """HF CLIP snapshot dir → npz bundle via the CLI tool."""
+    """HF CLIP state dict → npz bundle via the LIBRARY path (tiny
+    depth-patched model; the CLI tool itself is driven full-size by
+    test_convert_tool_cli_full_size below)."""
     transformers = pytest.importorskip("transformers")
     torch = pytest.importorskip("torch")
     cfg = transformers.CLIPConfig(
@@ -111,9 +113,6 @@ def test_convert_tool_roundtrip(tmp_path):
 
     torch.manual_seed(0)
     model = transformers.CLIPModel(cfg)
-    src = tmp_path / "snap"
-    src.mkdir()
-    torch.save(model.state_dict(), src / "pytorch_model.bin")
 
     from mcm_tpu.models.convert import convert_hf_clip, load_params, \
         save_params
@@ -215,3 +214,41 @@ def test_imagenet_full_ood_suite_pairing(tmp_path):
     text = csv.read_text()
     for name in ("iNaturalist", "SUN", "places365", "dtd", "AVG"):
         assert name in text
+
+
+def test_convert_tool_cli_full_size(tmp_path):
+    """Drive tools/convert_checkpoint.py — the DOCUMENTED conversion CLI
+    (docs/API.md, docs/MIGRATION.md) — as a subprocess on a synthesized
+    full-size B/16 HF snapshot (the in-process library calls above cover
+    the math; this covers the argparse surface, format sniff, out-stem,
+    and bundle write the library tests never touch — review finding,
+    round 5)."""
+    pytest.importorskip("safetensors")
+    from safetensors.numpy import save_file
+
+    from mcm_tpu.config import CLIP_CONFIGS
+    from mcm_tpu.models.hf_synth import synth_hf_clip_state_dict
+
+    cfg = CLIP_CONFIGS["ViT-B/16"]()
+    sd = synth_hf_clip_state_dict(cfg, seed=11)
+    snap = tmp_path / "snap"
+    snap.mkdir()
+    save_file({k: np.ascontiguousarray(v) for k, v in sd.items()},
+              str(snap / "model.safetensors"))
+    out = tmp_path / "converted"
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "convert_checkpoint.py"),
+         "--model", "clip", "--ckpt", "ViT-B/16",
+         "--src", str(snap), "--out", str(out)],
+        capture_output=True, text=True, env=env, timeout=900)
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-3000:]
+
+    from mcm_tpu.models.convert import resolve_clip_params
+    params = resolve_clip_params("ViT-B/16", str(out))
+    assert params is not None, os.listdir(out)
+    assert params["vision"]["layers"]["attn"]["wq"].shape == (12, 768, 768)
+    np.testing.assert_array_equal(
+        np.asarray(params["text"]["token_emb"]),
+        sd["text_model.embeddings.token_embedding.weight"])

@@ -34,9 +34,9 @@ def test_dryrun_multichip_with_initialized_single_device_backend():
     import sys
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = {k: v for k, v in os.environ.items()
-           if "xla_force_host_platform_device_count" not in v
-           or k != "XLA_FLAGS"}
+    # XLA_FLAGS is dropped unconditionally: any forced-device-count flag
+    # would defeat the <8-device precondition the subprocess asserts
+    env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = os.pathsep.join(

@@ -436,7 +436,11 @@ def test_concurrent_clients_coalesce(server, detector):
             lambda b: _request(server, "POST", "/v1/score", b), blobs))
     assert all(status == 200 for status, _, _ in results)
     used = server.batcher.n_batches - before
-    assert used < len(blobs), f"no coalescing: {used} batches for 8 reqs"
+    # <=6 (not just <8): a batcher that coalesced once in eight requests
+    # would pass a bare `used < len(blobs)` while near-totally failing at
+    # its job (review finding, round 5); the ratio bound lives in
+    # test_serve.py's 40-request sibling, this pins the HTTP path
+    assert used <= 6, f"barely coalescing: {used} batches for 8 reqs"
 
 
 def test_decode_images_bulk_pool_and_fallback(tmp_path):
